@@ -1,0 +1,261 @@
+"""Deterministic synthetic Common-Crawl-style page corpus (M0).
+
+Generates the ``pages`` input table of `BASELINE.json.input_hint`:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+with the five Baram page shapes (general / entertainment / sports / card /
+deleted — see ``/root/reference/tests/fixtures/html/`` and
+``/root/reference/src/parser/selectors.rs:16-172``), sanitize-chain dirt
+(zero-width chars, HTML entities, noise elements, whitespace runs), a 10%
+EUC-KR-encoded slice (charset chain ``src/crawler/fetcher.rs:339-372``), and
+a Zipfian (s≈1.1) mixed Hangul/ASCII vocabulary so posting lists are skewed
+like real text (the top term appears in nearly every document).
+
+Every row is a pure function of its index ``i`` (per-row seeded RNG), so
+distributed generation via ``spark.range(n).mapInPandas`` is deterministic
+under any partitioning — the same property that makes the corpus usable as
+a fixed correctness oracle. The ``text`` column carries the EXPECTED
+byte-exact extraction output, built analytically from the clean parts the
+generator embedded (it never calls the DOM extractor, keeping the
+golden check independent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from html import unescape as _html_unescape
+
+from .textproc.sanitize import sanitize_text
+
+SEED = 42
+VOCAB_SIZE = 5000
+ZIPF_S = 1.1
+
+# EUC-KR-encodable (KS X 1001) common syllables → every generated Hangul term
+# survives the euc-kr encode path.
+_SYLLABLES = (
+    "가 나 다 라 마 바 사 아 자 차 카 타 파 하 간 난 단 란 만 반 산 안 잔 찬 "
+    "강 남 당 랑 망 방 상 앙 장 창 거 너 더 러 머 버 서 어 저 처 건 넌 던 런 "
+    "게 네 데 레 메 베 세 에 제 체 고 노 도 로 모 보 소 오 조 초 곡 녹 독 록 "
+    "구 누 두 루 무 부 수 우 주 추 국 눈 둘 률 문 불 술 울 줄 출 그 느 드 르 "
+    "므 브 스 으 즈 츠 기 니 디 리 미 비 시 이 지 치 김 닌 딘 린 민 빈 신 인"
+).split()
+
+_ASCII_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda sigma "
+    "data spark index query search engine token score shard block posting "
+    "news media press article cloud model graph vector merge batch"
+).split()
+
+
+def _build_vocab() -> list[str]:
+    rng = np.random.default_rng(SEED)
+    vocab: list[str] = []
+    seen = set()
+    while len(vocab) < VOCAB_SIZE:
+        if rng.random() < 0.7:
+            n_syl = int(rng.integers(2, 5))
+            w = "".join(rng.choice(_SYLLABLES, size=n_syl))
+        else:
+            w = str(rng.choice(_ASCII_WORDS)) + str(int(rng.integers(0, 100)))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return vocab
+
+
+VOCAB = _build_vocab()
+
+# Zipf rank weights (s≈1.1) over the vocab, precomputed once.
+_RANKS = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+_WEIGHTS = _RANKS ** (-ZIPF_S)
+_WEIGHTS /= _WEIGHTS.sum()
+_CUM_WEIGHTS = np.cumsum(_WEIGHTS)
+
+_BASE_TS = np.datetime64("2024-11-15T00:00:00")
+
+_DIRT_ZW = "\u200b"
+_PUBLISHERS = ["바람일보", "스파크뉴스", "데이터타임스", "Naver News", "검색신문"]
+_AUTHORS = ["김기자", "이기자", "박기자", None, None]
+
+
+def _sample_terms(rng: np.random.Generator, n: int) -> list[str]:
+    idx = np.searchsorted(_CUM_WEIGHTS, rng.random(n))
+    return [VOCAB[i] for i in idx]
+
+
+def _paragraph(rng: np.random.Generator) -> str:
+    return " ".join(_sample_terms(rng, int(rng.integers(10, 40))))
+
+
+def _dirty(text: str, rng: np.random.Generator) -> str:
+    """Inject sanitize-chain dirt that cleans back to the original text."""
+    words = text.split(" ")
+    out = []
+    for w in words:
+        r = rng.random()
+        if r < 0.05 and len(w) > 2:
+            w = w[:1] + _DIRT_ZW + w[1:]  # zero-width removed by sanitize
+        elif r < 0.08:
+            w = w + "&#8203;"  # numeric zero-width entity
+        out.append(w)
+    sep_dirty = "  " if rng.random() < 0.2 else " "
+    return sep_dirty.join(out)
+
+
+_NOISE_SNIPPETS = [
+    '<script>var ad_slot = "{}";</script>',
+    '<div class="ad_wrap"><a href="#">AD {}</a></div>',
+    '<em class="img_desc">사진 설명 {}</em>',
+    '<div class="copyright">ⓒ 무단전재 금지 {}</div>',
+    '<div class="link_news"><a href="/a/{}">관련기사</a></div>',
+]
+
+
+def _noise(rng: np.random.Generator) -> str:
+    tpl = _NOISE_SNIPPETS[int(rng.integers(0, len(_NOISE_SNIPPETS)))]
+    return tpl.format(int(rng.integers(0, 10_000)))
+
+
+def make_page(i: int) -> dict:
+    """Generate page row ``i`` (pure function of i; seed folded with SEED)."""
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, i]))
+    oid = f"{int(rng.integers(1, 999)):03d}"
+    aid = f"{i:010d}"
+    url = f"https://n.news.naver.com/mnews/article/{oid}/{aid}"
+    warc_ts = _BASE_TS + np.timedelta64(int(rng.integers(0, 30 * 24 * 3600)), "s")
+    shape_r = rng.random()
+    lang = "ko" if rng.random() < 0.8 else "en"
+
+    if shape_r < 0.05:  # deleted page
+        html = (
+            "<html><head><title>삭제된 기사입니다</title></head>"
+            "<body><div class='error_content'>기사가 삭제, 수정, 이동되었거나 "
+            "주소가 변경되었습니다.</div></body></html>"
+        )
+        return {
+            "url": url, "warc_ts": warc_ts, "html": html.encode("utf-8"),
+            "text": None, "lang": lang, "title": None, "shape": "deleted",
+        }
+
+    title_clean = " ".join(_sample_terms(rng, int(rng.integers(3, 8))))
+    paragraphs = [_paragraph(rng) for _ in range(int(rng.integers(3, 8)))]
+    date_str = "2024.12.%02d. %02d:%02d" % (
+        int(rng.integers(1, 28)), int(rng.integers(0, 24)), int(rng.integers(0, 60)),
+    )
+    publisher = _PUBLISHERS[int(rng.integers(0, len(_PUBLISHERS)))]
+    author = _AUTHORS[int(rng.integers(0, len(_AUTHORS)))]
+
+    # visible body markup: dirty paragraphs + noise elements between them.
+    # ``visible_bits`` tracks what survives noise removal: the noise element
+    # itself is string-replaced away but its "\n" separators remain.
+    body_bits: list[str] = []
+    visible_bits: list[str] = []
+    for p in paragraphs:
+        dirty = _dirty(p, rng)
+        body_bits.append(dirty)
+        visible_bits.append(dirty)
+        if rng.random() < 0.5:
+            body_bits.append(_noise(rng))
+            visible_bits.append("")
+    body_html = "\n".join(body_bits)
+
+    # Expected extracted content, built analytically: the DOM parse decodes
+    # entities once (so "&#8203;" becomes a real zero-width BEFORE the
+    # sanitize chain sees it), then the sanitize chain (pinned separately by
+    # golden unit tests) cleans the dirt back out.
+    expected_content = sanitize_text(_html_unescape("\n".join(visible_bits)))
+
+    if shape_r < 0.65:  # general
+        shape = "general"
+        html = f"""<html><head><title>{title_clean}</title></head><body>
+<div class="media_end_head_top_logo"><img alt="{publisher}" src="/logo.png"></div>
+<div id="title_area"><span>{title_clean}</span></div>
+<span class="media_end_head_info_datestamp_time">{date_str}</span>
+{'<span class="byline_s">' + author + '</span>' if author else ''}
+<article id="dic_area">{body_html}</article>
+<div class="copyright">ⓒ news</div>
+</body></html>"""
+    elif shape_r < 0.77:  # entertainment
+        shape = "entertainment"
+        html = f"""<html><head><title>{title_clean}</title></head><body>
+<h2 class="end_tit">{title_clean}</h2>
+<div class="article_info"><span class="author"><em>{date_str}</em></span></div>
+<em class="press_name">{publisher}</em>
+<div class="article_body">{body_html}</div>
+</body></html>"""
+    elif shape_r < 0.89:  # sports
+        shape = "sports"
+        html = f"""<html><head><title>{title_clean}</title></head><body>
+<div class="news_headline"><h4 class="title">{title_clean}</h4>
+<div class="info"><span>{date_str}</span></div></div>
+<div class="news_end">{body_html}</div>
+</body></html>"""
+    else:  # card: content div present, captions are noise-stripped
+        shape = "card"
+        html = f"""<html><head><title>{title_clean}</title></head><body>
+<h2 class="end_tit">{title_clean}</h2>
+<article><div class="end_ct_area">{body_html}</div></article>
+</body></html>"""
+
+    encoding = "euc-kr" if rng.random() < 0.1 else "utf-8"
+    try:
+        raw = html.encode(encoding)
+    except UnicodeEncodeError:
+        encoding = "utf-8"
+        raw = html.encode("utf-8")
+    return {
+        "url": url, "warc_ts": warc_ts, "html": raw,
+        "text": expected_content, "lang": lang,
+        "title": sanitize_text(title_clean), "shape": shape,
+    }
+
+
+def make_pages_pdf(start: int, end: int) -> pd.DataFrame:
+    """Pages rows [start, end) as a pandas DataFrame."""
+    rows = [make_page(i) for i in range(start, end)]
+    pdf = pd.DataFrame(rows)
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    return pdf
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "title string, shape string"
+)
+
+
+def pages_df(spark, n_docs: int, partitions: int = 32):
+    """Distributed deterministic pages DataFrame (pure function of range)."""
+
+    def gen(iterator):
+        for pdf in iterator:
+            for idx in pdf["id"].tolist():
+                yield make_pages_pdf(idx, idx + 1)
+
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def make_query_set() -> list[dict]:
+    """The fixed reference query set (FIXTURES.md §2): head/torso/tail terms,
+    a zero-hit term, and multi-term phrases, k=10."""
+    queries = [
+        VOCAB[0],                      # head: in nearly every doc
+        VOCAB[10],                     # upper torso
+        VOCAB[100],                    # torso
+        VOCAB[1000],                   # tail
+        VOCAB[4500],                   # deep tail
+        f"{VOCAB[5]} {VOCAB[50]}",     # two-term
+        f"{VOCAB[3]} {VOCAB[300]} {VOCAB[2000]}",  # three-term mixed
+        "존재하지않는단어입니다",          # zero-hit
+        f"{VOCAB[0]} {VOCAB[1]}",      # two head terms
+        f"{VOCAB[20]} nonexistenttermxyz",  # one real + one zero-hit
+    ]
+    return [
+        {"query_id": qid, "query_text": q, "k": 10}
+        for qid, q in enumerate(queries)
+    ]

@@ -1,0 +1,126 @@
+"""BM25 scoring — the pinned ranking spec + brute-force oracle.
+
+The reference issues an OpenSearch bool-should query (``/root/reference/src/
+embedding/mod.rs:469-535``): ``match title`` boosted 2.0 + ``match content``,
+``minimum_should_match: 1``, default k=10, scored by Lucene BM25 with
+k1=1.2, b=0.75. This module pins that ranking function exactly:
+
+    idf(t, F)      = ln(1 + (N_F - df_F(t) + 0.5) / (df_F(t) + 0.5))
+    tfn(t, d, F)   = tf / (tf + k1 * (1 - b + b * dl_F(d) / avgdl_F))
+    score(d)       = 2.0 * Σ_t idf(t,title)   * tfn(t,d,title)
+                   + 1.0 * Σ_t idf(t,content) * tfn(t,d,content)
+
+(the modern Lucene formulation — the constant (k1+1) factor is omitted, as
+Lucene ≥8 does, since it never changes ranking). Per-field statistics:
+``N_F`` counts docs with a non-empty field, ``avgdl_F`` is the mean analyzed
+token count of that field. Duplicate query terms contribute once per distinct
+term (OpenSearch match-query semantics sum per unique term with boosted
+term-frequency handled by tf, not repetition).
+
+``minimum_should_match: 1`` ⇒ only docs containing ≥1 query term in ≥1 field
+are returned. Ties break (score DESC, doc_id ASC) — the canonical rank
+identity used across engine, oracle, and tests.
+
+The brute-force oracle here is the rank-identity ground truth for the
+distributed engine (same float64 math, same tie-break).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..textproc.analyzer import analyze_index, analyze_search
+
+K1 = 1.2
+B = 0.75
+TITLE_BOOST = 2.0
+DEFAULT_K = 10
+FIELDS = ("title", "content")
+FIELD_BOOSTS = {"title": TITLE_BOOST, "content": 1.0}
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene BM25 idf."""
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def tf_norm(tf, dl, avgdl: float, k1: float = K1, b: float = B):
+    """BM25 tf component (works on scalars or numpy arrays)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+@dataclass
+class FieldStats:
+    n_docs: int
+    avgdl: float
+    df: dict  # term -> doc freq
+
+
+@dataclass
+class BruteForceIndex:
+    """In-memory per-field index for the oracle scorer."""
+
+    doc_ids: list
+    tf: dict = field(default_factory=dict)  # field -> {doc_id: Counter(term)}
+    dl: dict = field(default_factory=dict)  # field -> {doc_id: int}
+    stats: dict = field(default_factory=dict)  # field -> FieldStats
+
+    @classmethod
+    def build(cls, docs) -> "BruteForceIndex":
+        """docs: iterable of (doc_id, title, content)."""
+        idx = cls(doc_ids=[])
+        for f in FIELDS:
+            idx.tf[f] = {}
+            idx.dl[f] = {}
+        for doc_id, title, content in docs:
+            idx.doc_ids.append(doc_id)
+            for fname, text in (("title", title), ("content", content)):
+                tokens = analyze_index(text or "")
+                if not tokens:
+                    continue
+                idx.tf[fname][doc_id] = Counter(tokens)
+                idx.dl[fname][doc_id] = len(tokens)
+        for fname in FIELDS:
+            dls = idx.dl[fname]
+            n = len(dls)
+            avgdl = (sum(dls.values()) / n) if n else 0.0
+            df: Counter = Counter()
+            for counts in idx.tf[fname].values():
+                df.update(counts.keys())
+            idx.stats[fname] = FieldStats(n_docs=n, avgdl=avgdl, df=dict(df))
+        return idx
+
+    def search(self, query_text: str, k: int = DEFAULT_K,
+               min_score: float | None = None):
+        """Top-k (doc_id, score) — float64, tie-break (score desc, id asc)."""
+        terms = sorted(set(analyze_search(query_text)))
+        scores: dict = {}
+        for fname in FIELDS:
+            st = self.stats[fname]
+            boost = FIELD_BOOSTS[fname]
+            if st.n_docs == 0:
+                continue
+            for term in terms:
+                df_t = st.df.get(term)
+                if not df_t:
+                    continue
+                w = boost * idf(st.n_docs, df_t)
+                for doc_id, counts in self.tf[fname].items():
+                    tf = counts.get(term)
+                    if tf:
+                        contrib = w * float(
+                            tf_norm(tf, self.dl[fname][doc_id], st.avgdl)
+                        )
+                        scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+        hits = [
+            (doc_id, s)
+            for doc_id, s in scores.items()
+            if min_score is None or s >= min_score
+        ]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

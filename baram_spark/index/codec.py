@@ -16,7 +16,10 @@ Blob formats (all little-endian):
 
 ``postings_blob``:
     [codec_id: u8] then per block:
-      varint(count) + encoded docid deltas + encoded tfs
+      varint(count) + encoded docid deltas + encoded tfs + encoded dls
+    (dl = analyzed field length of the doc — stored per posting, like
+    Lucene norms, so a shard scores BM25 self-contained with no doc-stats
+    join at query time)
     For codec VARINT deltas/tfs are LEB128 varints; for codec FOR each
     section is [width: u8][packed bits] frame-of-reference packed.
     First delta of block b is relative to last docID of block b-1
@@ -142,22 +145,25 @@ def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    tf_norms: np.ndarray | None = None,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
     codec: int = CODEC_VARINT,
 ) -> tuple[bytes, bytes, bytes]:
     """Pack one term's postings (doc_ids MUST be sorted ascending, unique).
 
-    Returns (postings_blob, skips_blob, blockmax_blob). ``tf_norms`` is the
-    per-posting BM25 tf component used for block-max bounds; pass None to
-    store per-block max tf instead (exact bounds derivable at query time
-    only if dl is known — callers should pass real norms at build).
+    ``dls`` are per-posting analyzed field lengths; block-max bounds are the
+    per-block max of the float64 BM25 tf component (safe upper bounds for
+    Block-Max WAND since query-time scoring uses the identical float64 math).
+    Returns (postings_blob, skips_blob, blockmax_blob).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     n = doc_ids.size
     n_blocks = (n + BLOCK - 1) // BLOCK
-    if tf_norms is None:
-        tf_norms = tfs.astype(np.float64)
+    tf_norms = bm25_tf_norm(tfs, dls, avgdl, k1, b)
 
     # deltas: first of each block relative to last docid of previous block
     # (block 0 relative to -1 => delta = docid + 1, so gaps are >= 1)
@@ -170,18 +176,21 @@ def encode_postings(
     offsets = np.zeros(n_blocks, dtype=np.int64)
     last_ids = np.zeros(n_blocks, dtype=np.int64)
     counts = np.zeros(n_blocks, dtype=np.int64)
-    blockmax = np.zeros(n_blocks, dtype=np.float32)
+    blockmax = np.zeros(n_blocks, dtype=np.float64)
     pos = 1
 
     if codec == CODEC_VARINT:
         delta_buf, delta_lens = varint_encode(deltas)
         tf_buf, tf_lens = varint_encode(tfs.astype(np.uint64))
+        dl_buf, dl_lens = varint_encode(dls.astype(np.uint64))
         d_off = np.concatenate(([0], np.cumsum(delta_lens)))
         t_off = np.concatenate(([0], np.cumsum(tf_lens)))
+        l_off = np.concatenate(([0], np.cumsum(dl_lens)))
         for bidx in range(n_blocks):
             lo, hi = bidx * BLOCK, min((bidx + 1) * BLOCK, n)
             cnt_bytes, _ = varint_encode(np.array([hi - lo], dtype=np.uint64))
-            block = cnt_bytes + delta_buf[d_off[lo]:d_off[hi]] + tf_buf[t_off[lo]:t_off[hi]]
+            block = (cnt_bytes + delta_buf[d_off[lo]:d_off[hi]]
+                     + tf_buf[t_off[lo]:t_off[hi]] + dl_buf[l_off[lo]:l_off[hi]])
             offsets[bidx] = pos
             last_ids[bidx] = doc_ids[hi - 1]
             counts[bidx] = hi - lo
@@ -192,7 +201,9 @@ def encode_postings(
         for bidx in range(n_blocks):
             lo, hi = bidx * BLOCK, min((bidx + 1) * BLOCK, n)
             cnt_bytes, _ = varint_encode(np.array([hi - lo], dtype=np.uint64))
-            block = cnt_bytes + for_encode(deltas[lo:hi]) + for_encode(tfs[lo:hi].astype(np.uint64))
+            block = (cnt_bytes + for_encode(deltas[lo:hi])
+                     + for_encode(tfs[lo:hi].astype(np.uint64))
+                     + for_encode(dls[lo:hi].astype(np.uint64)))
             offsets[bidx] = pos
             last_ids[bidx] = doc_ids[hi - 1]
             counts[bidx] = hi - lo
@@ -205,7 +216,7 @@ def encode_postings(
     skips = np.concatenate((
         np.array([n_blocks], dtype=np.int64), last_ids, offsets, counts,
     ))
-    return b"".join(parts), skips.tobytes(), blockmax.tobytes()
+    return b"".join(parts), skips.tobytes(), blockmax.astype(np.float64).tobytes()
 
 
 def decode_skips(skips_blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -216,7 +227,7 @@ def decode_skips(skips_blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def decode_blockmax(blockmax_blob: bytes) -> np.ndarray:
-    return np.frombuffer(blockmax_blob, dtype=np.float32)
+    return np.frombuffer(blockmax_blob, dtype=np.float64)
 
 
 def _decode_one_varint(buf: memoryview, pos: int) -> tuple[int, int]:
@@ -235,8 +246,8 @@ def decode_block(
     postings_blob: bytes,
     offset: int,
     prev_last_docid: int,
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Decode a single block at ``offset``; returns (doc_ids, tfs, end_pos)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Decode one block at ``offset`` → (doc_ids, tfs, dls, end_pos)."""
     codec = postings_blob[0]
     mv = memoryview(postings_blob)
     count, pos = _decode_one_varint(mv, offset)
@@ -246,27 +257,29 @@ def decode_block(
         # A block holds <= 2*BLOCK varints of <= 10 bytes, so the scan
         # window is bounded (no full-buffer rescan per block).
         raw = np.frombuffer(postings_blob, dtype=np.uint8)
-        window_end = min(raw.size, pos + 2 * count * 10)
+        window_end = min(raw.size, pos + 3 * count * 10)
         term_flags = (raw[pos:window_end] & 0x80) == 0
         ends = np.flatnonzero(term_flags)
-        span_end = pos + int(ends[2 * count - 1]) + 1
+        span_end = pos + int(ends[3 * count - 1]) + 1
         section = raw[pos:span_end]
         vals = varint_decode(section)
-        deltas, tfs = vals[:count], vals[count : 2 * count]
+        deltas, tfs, dls = vals[:count], vals[count : 2 * count], vals[2 * count : 3 * count]
         pos = span_end
     elif codec == CODEC_FOR:
         deltas, used = for_decode(postings_blob, pos)
         pos += used
         tfs, used = for_decode(postings_blob, pos)
         pos += used
+        dls, used = for_decode(postings_blob, pos)
+        pos += used
     else:
         raise ValueError(f"unknown codec {codec}")
     doc_ids = np.cumsum(deltas.astype(np.int64)) + prev_last_docid
-    return doc_ids, tfs.astype(np.int64), pos
+    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64), pos
 
 
-def decode_postings(postings_blob: bytes, skips_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode the full posting list → (doc_ids, tfs).
+def decode_postings(postings_blob: bytes, skips_blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the full posting list → (doc_ids, tfs, dls).
 
     For the varint codec the entire blob past the codec byte is one varint
     stream ([count, deltas.., tfs..] per block), so the whole list decodes
@@ -275,31 +288,34 @@ def decode_postings(postings_blob: bytes, skips_blob: bytes) -> tuple[np.ndarray
     """
     last_ids, offsets, counts = decode_skips(skips_blob)
     n_blocks = last_ids.size
+    empty = np.zeros(0, dtype=np.int64)
     if n_blocks == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        return empty, empty.copy(), empty.copy()
     codec = postings_blob[0]
     if codec == CODEC_VARINT:
         vals = varint_decode(np.frombuffer(postings_blob, dtype=np.uint8)[1:])
         n = int(counts.sum())
         deltas = np.empty(n, dtype=np.uint64)
         tfs = np.empty(n, dtype=np.int64)
+        dls = np.empty(n, dtype=np.int64)
         vpos = opos = 0
         for bidx in range(n_blocks):
             c = int(counts[bidx])
             vpos += 1  # skip the count varint
             deltas[opos : opos + c] = vals[vpos : vpos + c]
             tfs[opos : opos + c] = vals[vpos + c : vpos + 2 * c].astype(np.int64)
-            vpos += 2 * c
+            dls[opos : opos + c] = vals[vpos + 2 * c : vpos + 3 * c].astype(np.int64)
+            vpos += 3 * c
             opos += c
-        # per-block delta bases: block 0 from -1, block b from last_ids[b-1]
+        # per-block delta bases chain continuously, so one global cumsum
         doc_ids = np.cumsum(deltas.astype(np.int64)) - 1
-        return doc_ids, tfs
-    all_ids: list[np.ndarray] = []
-    all_tfs: list[np.ndarray] = []
+        return doc_ids, tfs, dls
+    all_ids, all_tfs, all_dls = [], [], []
     prev = -1
     for bidx in range(n_blocks):
-        ids, tfs, _ = decode_block(postings_blob, int(offsets[bidx]), prev)
+        ids, tfs, dls, _ = decode_block(postings_blob, int(offsets[bidx]), prev)
         all_ids.append(ids)
         all_tfs.append(tfs)
+        all_dls.append(dls)
         prev = int(last_ids[bidx])
-    return np.concatenate(all_ids), np.concatenate(all_tfs)
+    return np.concatenate(all_ids), np.concatenate(all_tfs), np.concatenate(all_dls)

@@ -1,0 +1,169 @@
+"""Distributed BM25 top-k search over the sharded postings index.
+
+Query lifecycle (the Spark-native analog of ``baram search`` →
+``VectorStore::search_bm25``, ``/root/reference/src/embedding/mod.rs:469-535``
++ ``src/commands/search.rs:95-159``):
+
+1. analyze the query with the SEARCH analyzer (driver-side, tiny).
+2. idf weights from ``term_stats`` (parquet scan, predicate pushdown on the
+   term-sorted files) + cached ``corpus_stats``.
+3. postings lookup: ``term IN (...)`` over ``postings/shard=K`` — the index
+   is DOCUMENT-sharded (every doc lives in exactly one shard, the
+   OpenSearch/Lucene shard model), so each shard holds all query terms for
+   its doc subset and can compute exact local BM25 scores.
+4. per-shard block-max-WAND top-k inside an Arrow-batched ``applyInPandas``
+   (or driver-side for ``mode="local"`` low-latency paths).
+5. global k-merge of the per-shard top-k lists (k·n_shards rows — O(k)
+   driver work), deterministic tie-break (score desc, doc_id asc).
+
+Filters from SearchConfig (category / date range / min_score,
+``src/embedding/mod.rs:135-175``) apply on the doc-join projection step.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..textproc.analyzer import analyze_search
+from .bm25 import DEFAULT_K, FIELD_BOOSTS, FIELDS, idf
+from .wand import TermPostings, score_blockmax, score_exhaustive
+
+MAX_K = 100  # REST cap, src/commands/serve.rs:426
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir.rstrip("/")
+        self.corpus_stats = {
+            r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+            for r in spark.read.parquet(f"{self.index_dir}/corpus_stats").collect()
+        }
+        self._postings = spark.read.parquet(f"{self.index_dir}/postings")
+        self._term_stats = spark.read.parquet(f"{self.index_dir}/term_stats")
+
+    # ------------------------------------------------------------------
+    def _weights(self, terms: list[str]) -> dict:
+        """{(field, term): boost * idf} from global df (one pruned scan)."""
+        if not terms:
+            return {}
+        rows = (
+            self._term_stats.filter(F.col("term").isin(terms))
+            .select("field", "term", "df")
+            .collect()
+        )
+        weights = {}
+        for r in rows:
+            n_docs, _ = self.corpus_stats.get(r["field"], (0, 0.0))
+            if n_docs and r["df"]:
+                weights[(r["field"], r["term"])] = FIELD_BOOSTS[r["field"]] * idf(
+                    n_docs, int(r["df"])
+                )
+        return weights
+
+    def _postings_rows(self, terms: list[str]) -> DataFrame:
+        return self._postings.filter(
+            F.col("term").isin(terms) & F.col("field").isin(list(FIELDS))
+        ).select("shard", "field", "term", "postings", "skips", "blockmax")
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query_text: str,
+        k: int = DEFAULT_K,
+        min_score: float | None = None,
+        mode: str = "distributed",
+        prune: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score); rank-identical to the brute-force oracle."""
+        k = min(k, MAX_K)
+        terms = sorted(set(analyze_search(query_text)))
+        if not terms:
+            return []
+        weights = self._weights(terms)
+        if not weights:
+            return []
+        avgdls = {f: self.corpus_stats[f][1] for f in self.corpus_stats}
+        scorer = score_blockmax if prune else score_exhaustive
+
+        if mode == "local":
+            rows = self._postings_rows(terms).collect()
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                key = (r["field"], r["term"])
+                if key not in weights:
+                    continue
+                by_shard.setdefault(r["shard"], []).append(
+                    TermPostings(
+                        r["field"], r["term"], weights[key],
+                        bytes(r["postings"]), bytes(r["skips"]),
+                        bytes(r["blockmax"]), avgdls[r["field"]],
+                    )
+                )
+            partials = []
+            for shard_terms in by_shard.values():
+                partials.extend(scorer(shard_terms, k, min_score))
+            return _merge_topk(partials, k)
+
+        # distributed: per-shard scoring in executors, k-merge on driver
+        out_schema = "doc_id long, score double"
+
+        def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tps = []
+            for row in pdf.itertuples():
+                wkey = (row.field, row.term)
+                if wkey not in weights:
+                    continue
+                tps.append(
+                    TermPostings(
+                        row.field, row.term, weights[wkey],
+                        bytes(row.postings), bytes(row.skips),
+                        bytes(row.blockmax), avgdls[row.field],
+                    )
+                )
+            hits = scorer(tps, k, min_score)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([h[0] for h in hits], dtype="int64"),
+                    "score": pd.Series([h[1] for h in hits], dtype="float64"),
+                }
+            )
+
+        partial_rows = (
+            self._postings_rows(terms)
+            .groupBy("shard")
+            .applyInPandas(score_shard, schema=out_schema)
+            .collect()
+        )
+        partials = [(int(r["doc_id"]), float(r["score"])) for r in partial_rows]
+        return _merge_topk(partials, k)
+
+    # ------------------------------------------------------------------
+    def search_df(self, query_text: str, k: int = DEFAULT_K,
+                  min_score: float | None = None,
+                  category: str | None = None) -> DataFrame:
+        """Search + doc projection as a DataFrame (id, score, title, url...)."""
+        hits = self.search(query_text, k=k, min_score=min_score)
+        hits_df = self.spark.createDataFrame(
+            [(d, s, r) for r, (d, s) in enumerate(hits, 1)],
+            "doc_id long, score double, rank int",
+        )
+        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        out = docs.join(F.broadcast(hits_df), "doc_id").select(
+            "rank", "doc_id", "score", "title", "url", "category",
+            "publisher", "published_at",
+            F.expr(
+                "case when length(text) > 500 then concat(substring(text,1,497),'...') "
+                "else text end"
+            ).alias("content"),
+        )
+        if category:
+            out = out.filter(F.col("category") == category)
+        return out.orderBy("rank")
+
+
+def _merge_topk(partials: list[tuple[int, float]], k: int):
+    """Global k-merge with the canonical tie-break."""
+    partials.sort(key=lambda x: (-x[1], x[0]))
+    return partials[:k]

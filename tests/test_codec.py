@@ -1,0 +1,99 @@
+"""Posting codec round-trips: varint, FOR bit-packing, skip pointers,
+block-max bounds — incl. property-based cases (hypothesis)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from baram_spark.index.codec import (
+    BLOCK,
+    CODEC_FOR,
+    CODEC_VARINT,
+    bm25_tf_norm,
+    decode_block,
+    decode_blockmax,
+    decode_postings,
+    decode_skips,
+    encode_postings,
+    for_decode,
+    for_encode,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_known_values():
+    buf, lens = varint_encode(np.array([0, 1, 127, 128, 300, 16384], dtype=np.uint64))
+    assert list(lens) == [1, 1, 1, 2, 2, 3]
+    assert list(varint_decode(buf)) == [0, 1, 127, 128, 300, 16384]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    buf, _ = varint_encode(arr)
+    assert np.array_equal(varint_decode(buf), arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_for_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    out, used = for_decode(for_encode(arr))
+    assert np.array_equal(out, arr)
+
+
+@pytest.mark.parametrize("codec", [CODEC_VARINT, CODEC_FOR])
+@pytest.mark.parametrize("n", [1, 2, BLOCK - 1, BLOCK, BLOCK + 1, 1000])
+def test_postings_roundtrip(codec, n):
+    rng = np.random.default_rng(n)
+    ids = np.sort(rng.choice(50_000_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 40, size=n).astype(np.int64)
+    dls = rng.integers(10, 800, size=n).astype(np.int64)
+    blob, skips, bmax = encode_postings(ids, tfs, dls, avgdl=150.0, codec=codec)
+    di, dt, dd = decode_postings(blob, skips)
+    assert np.array_equal(di, ids)
+    assert np.array_equal(dt, tfs)
+    assert np.array_equal(dd, dls)
+
+
+def test_skip_pointers_single_block_seek():
+    rng = np.random.default_rng(9)
+    n = 1000
+    ids = np.sort(rng.choice(10_000_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 5, size=n).astype(np.int64)
+    dls = rng.integers(10, 100, size=n).astype(np.int64)
+    blob, skips, _ = encode_postings(ids, tfs, dls, avgdl=50.0)
+    last_ids, offsets, counts = decode_skips(skips)
+    # seek straight to block 3 without touching blocks 0-2
+    bi, bt, bd, _ = decode_block(blob, int(offsets[3]), int(last_ids[2]))
+    lo, hi = 3 * BLOCK, 4 * BLOCK
+    assert np.array_equal(bi, ids[lo:hi])
+    assert np.array_equal(bt, tfs[lo:hi])
+
+
+def test_blockmax_is_upper_bound():
+    rng = np.random.default_rng(11)
+    n = 700
+    ids = np.sort(rng.choice(1_000_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 30, size=n).astype(np.int64)
+    dls = rng.integers(5, 500, size=n).astype(np.int64)
+    _, _, bmax_blob = encode_postings(ids, tfs, dls, avgdl=100.0)
+    bmax = decode_blockmax(bmax_blob)
+    tfn = bm25_tf_norm(tfs, dls, 100.0)
+    for b in range(bmax.size):
+        seg = tfn[b * BLOCK : (b + 1) * BLOCK]
+        assert bmax[b] == seg.max()  # exact float64 max, not an approximation
+
+
+def test_compression_beats_raw():
+    rng = np.random.default_rng(5)
+    n = 50_000
+    ids = np.sort(rng.choice(5_000_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 4, size=n).astype(np.int64)
+    dls = rng.integers(50, 200, size=n).astype(np.int64)
+    for codec in (CODEC_VARINT, CODEC_FOR):
+        blob, _, _ = encode_postings(ids, tfs, dls, avgdl=100.0, codec=codec)
+        assert len(blob) < n * 24 / 4  # ≥4× smaller than raw int64 triplets

@@ -1,0 +1,168 @@
+"""Spark integration: end-to-end index build + BM25 rank identity vs the
+brute-force oracle, WAND/exhaustive equivalence, salting, and resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from baram_spark.corpus import make_query_set, pages_df
+from baram_spark.index.builder import IndexBuilder
+from baram_spark.query.bm25 import BruteForceIndex
+from baram_spark.query.engine import SearchEngine
+
+N_DOCS = 600
+FP = f"test-{N_DOCS}"
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, work_dir):
+    out = f"{work_dir}/idx"
+    pages = pages_df(spark, N_DOCS, partitions=8)
+    builder = IndexBuilder(
+        spark, out, n_shards=4, salt_threshold=100, shard_concurrency=2
+    )
+    metrics = builder.build(pages, fingerprint=FP)
+    assert metrics["postings_built"] > 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, index_dir):
+    docs = (
+        spark.read.parquet(f"{index_dir}/docs")
+        .select("doc_id", "title", "text")
+        .toPandas()
+    )
+    return BruteForceIndex.build(
+        [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()]
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+def _norm(hits):
+    return [(d, round(s, 9)) for d, s in hits]
+
+
+def test_rank_identity_local(engine, oracle):
+    for q in make_query_set():
+        exp = oracle.search(q["query_text"], k=q["k"])
+        got = engine.search(q["query_text"], k=q["k"], mode="local")
+        assert _norm(got) == _norm(exp), q["query_text"]
+
+
+def test_rank_identity_distributed(engine, oracle):
+    for q in make_query_set()[:4]:
+        exp = oracle.search(q["query_text"], k=q["k"])
+        got = engine.search(q["query_text"], k=q["k"], mode="distributed")
+        assert _norm(got) == _norm(exp), q["query_text"]
+
+
+def test_wand_equals_exhaustive(engine):
+    for q in make_query_set():
+        pruned = engine.search(q["query_text"], k=10, mode="local", prune=True)
+        full = engine.search(q["query_text"], k=10, mode="local", prune=False)
+        assert pruned == full, q["query_text"]  # bit-identical scores
+
+
+def test_scores_are_exact_floats(engine, oracle):
+    q = make_query_set()[0]["query_text"]
+    got = engine.search(q, k=10, mode="local")
+    exp = oracle.search(q, k=10)
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gd == ed
+        assert gs == es  # no tolerance: identical float64 accumulation order
+
+
+def test_min_score_filter(engine, oracle):
+    q = make_query_set()[5]["query_text"]
+    full = engine.search(q, k=50, mode="local")
+    if len(full) > 2:
+        cutoff = full[1][1]
+        filtered = engine.search(q, k=50, min_score=cutoff, mode="local")
+        assert all(s >= cutoff for _, s in filtered)
+        assert _norm(filtered) == _norm(oracle.search(q, k=50, min_score=cutoff))
+
+
+def test_zero_hit_query(engine):
+    assert engine.search("zzqqxxnonexistent", k=10) == []
+
+
+def test_salting_was_exercised(spark, index_dir):
+    """With salt_threshold=100 the Zipf head terms must have been salted —
+    verify heavy terms exist and their merged postings match their df."""
+    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    heavy = ts.filter(F.col("df") > 100).count()
+    assert heavy > 0, "corpus should have Zipf-head terms above threshold"
+    post = spark.read.parquet(f"{index_dir}/postings")
+    # one merged row per (field, term) per shard — salting never leaks
+    # duplicate rows into the final index
+    dup = (
+        post.groupBy("shard", "field", "term")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_postings_df_matches_term_stats(spark, index_dir):
+    """Σ per-shard df == global df from term_stats for every term."""
+    post = spark.read.parquet(f"{index_dir}/postings")
+    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    agg = post.groupBy("field", "term").agg(F.sum("df").alias("df_sum"))
+    bad = (
+        agg.join(ts, ["field", "term"], "full")
+        .filter(
+            F.coalesce(F.col("df_sum"), F.lit(-1))
+            != F.coalesce(F.col("df"), F.lit(-2))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_resume_skips_completed(spark, index_dir, work_dir):
+    """Re-running the build with the same fingerprint skips every stage."""
+    builder = IndexBuilder(
+        spark, index_dir, n_shards=4, salt_threshold=100, shard_concurrency=2
+    )
+    pages = pages_df(spark, N_DOCS, partitions=8)
+    m2 = builder.build(pages, fingerprint=FP)
+    assert set(m2["resumed_stages"]) == {"docs", "doc_terms", "stats"}
+    assert m2["resumed_shards"] == [0, 1, 2, 3]
+    assert m2["postings_built"] == 0  # nothing rebuilt
+
+
+def test_partial_resume_rebuilds_only_missing(spark, index_dir, oracle):
+    """Drop one shard's lineage rows → only that shard rebuilds, and the
+    index still answers rank-identically (idempotent per-partition rerun)."""
+    ledger_path = f"{index_dir}/lineage"
+    df = spark.read.parquet(ledger_path).filter(
+        ~((F.col("stage") == "postings") & (F.col("partition_id") == 2))
+    )
+    kept = df.collect()
+    spark.createDataFrame(kept, df.schema).write.mode("overwrite").parquet(ledger_path)
+
+    builder = IndexBuilder(
+        spark, index_dir, n_shards=4, salt_threshold=100, shard_concurrency=2
+    )
+    pages = pages_df(spark, N_DOCS, partitions=8)
+    m = builder.build(pages, fingerprint=FP)
+    assert m["resumed_shards"] == [0, 1, 3]
+    assert m["postings_built"] > 0  # shard 2 rebuilt
+
+    engine = SearchEngine(spark, index_dir)
+    q = make_query_set()[0]["query_text"]
+    assert _norm(engine.search(q, k=10)) == _norm(oracle.search(q, k=10))
+
+
+def test_lineage_metrics_recorded(spark, index_dir):
+    rows = spark.read.parquet(f"{index_dir}/lineage").collect()
+    stages = {r["stage"] for r in rows}
+    assert {"docs", "doc_terms", "stats", "postings"} <= stages
+    docs_row = [r for r in rows if r["stage"] == "docs"][0]
+    assert docs_row["rows_out"] > 0 and docs_row["rows_per_sec"] > 0

@@ -1,38 +1,555 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the SQL-checkable operator surface from SURVEY.md §2
+(windows/aggregations G1-G10, joins J1-J5 analogs, dedup I8/I10, the BM25
+scoring pipeline Q1 re-expressed over the provided ``documents`` table, plus
+the training-data-pipeline operators: minhash/LSH/jaccard dedup, cosine kNN,
+text quality/langid/fingerprinting). ``oracle_sql()`` carries the equivalent
+DuckDB SQL; floats are rounded to 6 dp on BOTH sides and columns share names
+exactly so the driver's order-insensitive value-hash matches.
+
+The full crawl→extract→index→search engine (HTML byte-identical extraction,
+sharded posting lists, block-max WAND) is exercised by ``entry()``/pytest/
+bench.py on the synthetic pages corpus — see baram_spark/ and tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+BM25_QUERY_TERMS = ["spark", "data"]
+K1, B = 1.2, 0.75
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: whitespace-analyzed BM25 top-10 over sf0.001 documents."""
+    return _bm25_topk(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# search pipeline over `documents` (whitespace analyzer → SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def _doc_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def _doc_tf(spark, sf_dir):
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _term_df(spark, sf_dir):
+    return (
+        _doc_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+
+
+def _corpus_stats(spark, sf_dir):
+    dl = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+    )
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+def _bm25_topk(spark, sf_dir):
+    toks = _doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), toks2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), q AS (
+  SELECT unnest(['{BM25_QUERY_TERMS[0]}', '{BM25_QUERY_TERMS[1]}']) AS term
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+       ), 6) AS score
+FROM tf
+JOIN q USING (term)
+JOIN df USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from baram_spark.operators import dedup, similarity, text_analysis, trends
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def events_series(spark, sf_dir):
+        return trends.daily_counts(_t(spark, sf_dir, "events"))
+
+    def q_doc_tf(spark, sf_dir):
+        return _doc_tf(spark, sf_dir)
+
+    def q_term_df(spark, sf_dir):
+        return _term_df(spark, sf_dir)
+
+    def q_corpus_stats(spark, sf_dir):
+        return _corpus_stats(spark, sf_dir)
+
+    def q_bm25(spark, sf_dir):
+        return _bm25_topk(spark, sf_dir)
+
+    def q_moving_avg(spark, sf_dir):
+        out = trends.moving_average(events_series(spark, sf_dir))
+        return out.select(
+            "key", F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"), "moving_avg",
+        )
+
+    def q_spikes(spark, sf_dir):
+        out = trends.detect_spikes(events_series(spark, sf_dir), threshold=1.1)
+        return out.select(
+            "key", F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"), "magnitude", "zscore",
+        )
+
+    def q_trend_slope(spark, sf_dir):
+        return trends.trend_slope(events_series(spark, sf_dir))
+
+    def q_pct_change(spark, sf_dir):
+        out = trends.percent_change(events_series(spark, sf_dir))
+        return out.select(
+            "key", F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"), "pct_change",
+        )
+
+    def q_minmax(spark, sf_dir):
+        out = trends.minmax_normalize(events_series(spark, sf_dir))
+        return out.select(
+            "key", F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"), "normalized",
+        )
+
+    def q_top_trending(spark, sf_dir):
+        out = trends.top_trending(events_series(spark, sf_dir), k=3)
+        return out.select("rank", "key", F.col("total").cast("long").alias("total"))
+
+    def q_range_count(spark, sf_dir):
+        return trends.range_count(
+            _t(spark, sf_dir, "events"), "2024-01-05", "2024-01-20"
+        ).select("key", F.col("cnt").cast("long").alias("cnt"))
+
+    def q_avg_value(spark, sf_dir):
+        return trends.avg_metric(_t(spark, sf_dir, "events"))
+
+    def q_pmi(spark, sf_dir):
+        ents = _doc_tokens(spark, sf_dir).filter(
+            F.col("term").isin("spark", "data", "query", "join", "filter")
+        ).select("doc_id", F.col("term").alias("entity"))
+        return trends.pmi_cooccurrence(ents, min_pairs=2)
+
+    def q_json_extract(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.select(
+                F.get_json_object("props", "$.k").cast("long").alias("k_val")
+            )
+            .groupBy("k_val")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    def q_dedup_exact(spark, sf_dir):
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select(
+            "content_hash",
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+
+    def q_anti_join(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        lineitem = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey")
+        )
+        return dedup.anti_join_new(orders, lineitem, key="o_orderkey").select(
+            "o_orderkey", "o_orderstatus"
+        )
+
+    def q_minhash(spark, sf_dir):
+        sh = _doc_tokens(spark, sf_dir).select(
+            "doc_id", F.col("term").alias("shingle")
+        ).distinct()
+        return dedup.minhash_signatures(sh, n_hashes=4)
+
+    def q_lsh_pairs(spark, sf_dir):
+        sh = _doc_tokens(spark, sf_dir).select(
+            "doc_id", F.col("term").alias("shingle")
+        ).distinct()
+        sig = dedup.minhash_signatures(sh, n_hashes=4)
+        return dedup.lsh_candidate_pairs(sig, n_hashes=4, bands=2)
+
+    def q_jaccard(spark, sf_dir):
+        sh = _doc_tokens(spark, sf_dir).select(
+            "doc_id", F.col("term").alias("shingle")
+        ).distinct()
+        return dedup.ngram_jaccard_pairs(sh, threshold=0.5)
+
+    def q_simhash(spark, sf_dir):
+        return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+    def q_knn(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        joined = emb.crossJoin(F.broadcast(qvec))
+        scored = joined.select(
+            "vec_id",
+            F.round(
+                similarity.cosine_expr(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.transform("qv", lambda x: x.cast("double")),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "vec_id", "cosine")
+        )
+
+    def q_token_counts(spark, sf_dir):
+        return text_analysis.token_counts(_t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    def q_quality(spark, sf_dir):
+        return text_analysis.quality_scores(_t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "punct_ratio", "avg_word_len", "uniq_ratio",
+        )
+
+    def q_fingerprint(spark, sf_dir):
+        return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
+
+    def q_tpch_q1(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count("*").cast("long").alias("count_order"),
+            )
+        )
+
+    def q_tpch_q3(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("o_orderkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    return {
+        "doc_tf": q_doc_tf,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25,
+        "moving_average": q_moving_avg,
+        "spike_zscore": q_spikes,
+        "trend_slope": q_trend_slope,
+        "percent_change": q_pct_change,
+        "minmax_normalize": q_minmax,
+        "top_trending": q_top_trending,
+        "range_count": q_range_count,
+        "avg_value": q_avg_value,
+        "pmi_cooccurrence": q_pmi,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "anti_join_dedup": q_anti_join,
+        "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_jaccard,
+        "simhash": q_simhash,
+        "knn_cosine": q_knn,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "fingerprint": q_fingerprint,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+    }
+
+
+_TOKS = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term "
+    "FROM documents), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')"
+)
+
+_SERIES = (
+    "series AS (SELECT event_type AS key, date_trunc('day', ts) AS day, "
+    "count(*) AS cnt FROM events GROUP BY 1, 2)"
+)
+
+
+def _mh_expr(seed: int) -> str:
+    return (
+        f"min(CAST(concat('0x', substring(md5(concat('{seed}|', shingle)), 1, 15)) "
+        f"AS BIGINT)) AS mh{seed}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_cols = ", ".join(_mh_expr(s) for s in range(4))
+    return {
+        "doc_tf": f"{_TOKS} SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1,2",
+        "term_df": f"""{_TOKS}, tf AS (SELECT doc_id, term FROM toks2 GROUP BY 1,2)
+            SELECT term, count(*) AS df FROM tf GROUP BY 1""",
+        "corpus_stats": f"""{_TOKS}, dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1)
+            SELECT count(*) AS n_docs, ROUND(avg(dl), 6) AS avgdl FROM dl""",
+        "bm25_topk": _BM25_ORACLE,
+        "moving_average": f"""WITH {_SERIES}
+            SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
+                   ROUND(avg(cnt) OVER (PARTITION BY key ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM series""",
+        "spike_zscore": f"""WITH {_SERIES}, x AS (
+              SELECT key, day, cnt,
+                     avg(cnt) OVER (PARTITION BY key ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
+                     avg(cnt) OVER (PARTITION BY key) AS mu,
+                     stddev_pop(cnt) OVER (PARTITION BY key) AS sigma
+              FROM series)
+            SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
+                   ROUND(cnt / ma, 6) AS magnitude,
+                   ROUND(CASE WHEN sigma > 0 THEN (cnt - mu) / sigma ELSE 0 END, 6) AS zscore
+            FROM x WHERE ma > 0 AND cnt / ma >= 1.1""",
+        "trend_slope": f"""WITH {_SERIES}, x AS (
+              SELECT key, cnt,
+                     CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS DOUBLE) AS x
+              FROM series),
+            agg AS (SELECT key, regr_slope(CAST(cnt AS DOUBLE), x) AS slope,
+                           avg(cnt) AS mean_cnt FROM x GROUP BY key),
+            v AS (SELECT key, slope,
+                     least(greatest(CASE WHEN mean_cnt > 0 THEN slope / mean_cnt
+                                         ELSE 0 END, -1.0), 1.0) AS vel
+                  FROM agg)
+            SELECT key, ROUND(slope, 6) AS slope, ROUND(vel, 6) AS velocity,
+                   CASE WHEN vel > 0.5 THEN 'rising_fast'
+                        WHEN vel > 0.1 THEN 'rising'
+                        WHEN vel < -0.5 THEN 'falling_fast'
+                        WHEN vel < -0.1 THEN 'falling'
+                        ELSE 'stable' END AS direction
+            FROM v""",
+        "percent_change": f"""WITH {_SERIES}
+            SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
+                   ROUND(CASE WHEN lag(cnt) OVER w > 0
+                         THEN (cnt - lag(cnt) OVER w) * 100.0 / lag(cnt) OVER w
+                         END, 6) AS pct_change
+            FROM series WINDOW w AS (PARTITION BY key ORDER BY day)""",
+        "minmax_normalize": f"""WITH {_SERIES}
+            SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
+                   ROUND(CASE WHEN max(cnt) OVER w > min(cnt) OVER w
+                         THEN CAST(cnt - min(cnt) OVER w AS DOUBLE)
+                              / (max(cnt) OVER w - min(cnt) OVER w)
+                         ELSE 0.5 END, 6) AS normalized
+            FROM series WINDOW w AS (PARTITION BY key)""",
+        "top_trending": f"""WITH {_SERIES},
+            totals AS (SELECT key, sum(cnt) AS total FROM series GROUP BY key)
+            SELECT CAST(row_number() OVER (ORDER BY total DESC, key ASC) AS INT) AS rank,
+                   key, total
+            FROM totals ORDER BY rank LIMIT 3""",
+        "range_count": """SELECT event_type AS key, count(*) AS cnt FROM events
+            WHERE ts >= '2024-01-05' AND ts < '2024-01-20' GROUP BY 1""",
+        "avg_value": """SELECT event_type AS key, ROUND(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1""",
+        "pmi_cooccurrence": f"""{_TOKS}, ents AS (
+              SELECT DISTINCT doc_id, term AS entity FROM toks2
+              WHERE term IN ('spark','data','query','join','filter')),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ents),
+            ec AS (SELECT entity, count(*) AS n FROM ents GROUP BY 1),
+            pairs AS (
+              SELECT a.entity AS e1, b.entity AS e2, count(*) AS n_ab
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT e1, e2, n_ab,
+                   ROUND(ln((CAST(n_ab AS DOUBLE) / n.n_docs) /
+                        ((CAST(ca.n AS DOUBLE) / n.n_docs) *
+                         (CAST(cb.n AS DOUBLE) / n.n_docs))), 6) AS pmi
+            FROM pairs
+            JOIN ec ca ON ca.entity = e1
+            JOIN ec cb ON cb.entity = e2
+            CROSS JOIN n""",
+        "json_extract": """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                   count(*) AS cnt FROM events GROUP BY 1""",
+        "dedup_exact": """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_dups FROM documents GROUP BY 1""",
+        "anti_join_dedup": """SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+        "minhash_signatures": f"""{_TOKS}, sh AS (
+              SELECT DISTINCT doc_id, term AS shingle FROM toks2)
+            SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id""",
+        "lsh_candidate_pairs": f"""{_TOKS}, sh AS (
+              SELECT DISTINCT doc_id, term AS shingle FROM toks2),
+            sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     concat(CAST(mh0 AS VARCHAR), '_', CAST(mh1 AS VARCHAR)) AS sig
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     concat(CAST(mh2 AS VARCHAR), '_', CAST(mh3 AS VARCHAR)) AS sig
+              FROM sig)
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+        "ngram_jaccard": f"""{_TOKS}, sh AS (
+              SELECT DISTINCT doc_id, term AS shingle FROM toks2),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2, n_common,
+                   ROUND(CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common), 6)
+                     AS jaccard
+            FROM common
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5""",
+        "knn_cosine": """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6)
+                       AS cosine
+              FROM embeddings CROSS JOIN q)
+            SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT)
+                     AS rank, vec_id, cosine
+            FROM scored ORDER BY rank LIMIT 10""",
+        "token_counts": """SELECT doc_id,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_filter(string_split_regex(text, '[^a-zA-Z0-9가-힣]+'),
+                       x -> x <> '')) AS n_words,
+                   length(text) AS n_chars
+            FROM documents""",
+        "quality_scores": """SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   ROUND(CAST(length(text) - len(string_split(trim(text), ' ')) + 1 AS DOUBLE)
+                         / greatest(len(string_split(trim(text), ' ')), 1), 6) AS avg_word_len,
+                   ROUND(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                         / greatest(len(string_split(trim(text), ' ')), 1), 6) AS uniq_ratio
+            FROM documents""",
+        "fingerprint": """SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents""",
+        "tpch_q1": """SELECT l_returnflag, l_linestatus,
+                   ROUND(sum(l_quantity), 6) AS sum_qty,
+                   ROUND(sum(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   ROUND(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '2024-09-01'
+            GROUP BY 1, 2""",
+        "tpch_q3": """SELECT o_orderkey,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    }

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..textproc.analyzer import analyze_index
 from ..textproc.extract import extract_batch
-from .codec import CODEC_VARINT, decode_postings, encode_postings
+from .codec import CODEC_VARINT, decode_postings, encode_many, encode_postings
 
 DOCS_SCHEMA = (
     "doc_id long, url string, oid string, aid string, title string, "
@@ -149,71 +149,179 @@ def plan_salts(term_stats_pdf: pd.DataFrame, salt_threshold: int) -> dict:
     }
 
 
-def _pack_group(avgdl_by_field: dict, codec: int):
-    """applyInPandas packer for one (field, term, salt) group."""
+def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFrame:
+    """Pack every contiguous (field, term, salt) run of a SORTED frame.
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term, salt = key
-        order = np.argsort(pdf["doc_id"].values, kind="stable")
-        ids = pdf["doc_id"].values[order].astype(np.int64)
-        tfs = pdf["tf"].values[order].astype(np.int64)
-        dls = pdf["dl"].values[order].astype(np.int64)
-        blob, skips, bmax = encode_postings(
-            ids, tfs, dls, avgdl=avgdl_by_field[field], codec=codec
+    One numpy boundary scan finds the runs; encode_postings runs per group
+    with already-sorted doc_ids (no per-group argsort, no per-group pandas
+    DataFrame construction — the applyInPandas-per-group overhead that
+    dominates at ~tens of thousands of small terms is gone).
+    """
+    n = len(pdf)
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (
+        (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+        | (salts[1:] != salts[:-1])
+    )
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    avgdl_per_row = np.where(
+        fields == "title",
+        avgdl_by_field.get("title", 1.0),
+        avgdl_by_field.get("content", 1.0),
+    ).astype(np.float64)
+    if codec == CODEC_VARINT:
+        blobs, skips_l, bmax_l = encode_many(
+            ids, tfs, dls, starts, ends, avgdl_per_row
         )
-        return pd.DataFrame(
-            {
-                "field": [field], "term": [term], "salt": [int(salt)],
-                "df": [len(ids)], "postings": [blob], "skips": [skips],
-                "blockmax": [bmax],
-            }
-        )
+    else:
+        blobs, skips_l, bmax_l = [], [], []
+        for st, en in zip(starts, ends):
+            blob, skips, bmax = encode_postings(
+                ids[st:en], tfs[st:en], dls[st:en],
+                avgdl=avgdl_by_field[fields[st]], codec=codec,
+            )
+            blobs.append(blob)
+            skips_l.append(skips)
+            bmax_l.append(bmax)
+    frame = pd.DataFrame(
+        {
+            "field": fields[starts],
+            "term": terms[starts],
+            "salt": salts[starts],
+            "df": ends - starts,
+            "postings": blobs,
+            "skips": skips_l,
+            "blockmax": bmax_l,
+        }
+    )
+    frame["salt"] = frame["salt"].astype("int32")
+    frame["df"] = frame["df"].astype("int64")
+    return frame
 
-    return pack
+
+def _pack_partition(avgdl_by_field: dict, codec: int):
+    """mapInPandas packer over a partition sorted by (field, term, salt,
+    doc_id). Arrow batches can split a group, so the trailing (possibly
+    incomplete) group of each batch is carried into the next one."""
+
+    def run(iterator):
+        carry: pd.DataFrame | None = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            # hold back the trailing run (it may continue in the next batch)
+            lf = pdf["field"].iat[n - 1]
+            lt = pdf["term"].iat[n - 1]
+            ls = pdf["salt"].iat[n - 1]
+            tail_mask = (
+                (pdf["field"].to_numpy() == lf)
+                & (pdf["term"].to_numpy() == lt)
+                & (pdf["salt"].to_numpy() == ls)
+            )
+            # runs are contiguous: the tail run starts at the last False + 1
+            nonmatch = np.flatnonzero(~tail_mask)
+            split = (nonmatch[-1] + 1) if nonmatch.size else 0
+            carry = pdf.iloc[split:]
+            head = pdf.iloc[:split]
+            if len(head):
+                yield _pack_runs(head, avgdl_by_field, codec)
+        if carry is not None and len(carry):
+            yield _pack_runs(carry, avgdl_by_field, codec)
+
+    return run
 
 
-def _merge_group(avgdl_by_field: dict, codec: int):
-    """applyInPandas merger: salted partial blobs of one term → one blob.
+def _merge_partition(avgdl_by_field: dict, codec: int):
+    """mapInPandas merger over a partition sorted by (field, term, salt).
 
-    Decodes k compact partials (numpy), merge-sorts by doc_id, re-encodes.
-    Input here is ~3 bytes/posting instead of full rows — the whole point
-    of salting the heavy terms.
+    Salted partial blobs of the same (field, term) run are decoded (numpy),
+    merge-sorted by doc_id, and re-encoded; single-row runs pass through
+    byte-identical. Arrow batches may split a run → carry, as in packing.
     """
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term = key
-        if len(pdf) == 1:
-            row = pdf.iloc[0]
-            return pd.DataFrame(
-                {
-                    "field": [field], "term": [term], "salt": [0],
-                    "df": [int(row["df"])], "postings": [row["postings"]],
-                    "skips": [row["skips"]], "blockmax": [row["blockmax"]],
-                }
+    def merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        fields = pdf["field"].to_numpy()
+        terms = pdf["term"].to_numpy()
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        out = {
+            "field": [], "term": [], "salt": [], "df": [],
+            "postings": [], "skips": [], "blockmax": [],
+        }
+        for st, en in zip(starts, ends):
+            out["field"].append(fields[st])
+            out["term"].append(terms[st])
+            out["salt"].append(0)
+            if en - st == 1:
+                out["df"].append(int(pdf["df"].iat[st]))
+                out["postings"].append(pdf["postings"].iat[st])
+                out["skips"].append(pdf["skips"].iat[st])
+                out["blockmax"].append(pdf["blockmax"].iat[st])
+                continue
+            ids_l, tfs_l, dls_l = [], [], []
+            for i in range(st, en):
+                ids, tfs, dls = decode_postings(
+                    bytes(pdf["postings"].iat[i]), bytes(pdf["skips"].iat[i])
+                )
+                ids_l.append(ids)
+                tfs_l.append(tfs)
+                dls_l.append(dls)
+            ids = np.concatenate(ids_l)
+            order = np.argsort(ids, kind="stable")
+            blob, skips, bmax = encode_postings(
+                ids[order],
+                np.concatenate(tfs_l)[order],
+                np.concatenate(dls_l)[order],
+                avgdl=avgdl_by_field[fields[st]],
+                codec=codec,
             )
-        ids_l, tfs_l, dls_l = [], [], []
-        for _, row in pdf.iterrows():
-            ids, tfs, dls = decode_postings(bytes(row["postings"]), bytes(row["skips"]))
-            ids_l.append(ids)
-            tfs_l.append(tfs)
-            dls_l.append(dls)
-        ids = np.concatenate(ids_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        order = np.argsort(ids, kind="stable")
-        blob, skips, bmax = encode_postings(
-            ids[order], tfs[order], dls[order],
-            avgdl=avgdl_by_field[field], codec=codec,
-        )
-        return pd.DataFrame(
-            {
-                "field": [field], "term": [term], "salt": [0],
-                "df": [len(ids)], "postings": [blob], "skips": [skips],
-                "blockmax": [bmax],
-            }
-        )
+            out["df"].append(len(ids))
+            out["postings"].append(blob)
+            out["skips"].append(skips)
+            out["blockmax"].append(bmax)
+        frame = pd.DataFrame(out)
+        frame["salt"] = frame["salt"].astype("int32")
+        frame["df"] = frame["df"].astype("int64")
+        return frame
 
-    return merge
+    def run(iterator):
+        carry: pd.DataFrame | None = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            lf = pdf["field"].iat[n - 1]
+            lt = pdf["term"].iat[n - 1]
+            tail = (pdf["field"].to_numpy() == lf) & (pdf["term"].to_numpy() == lt)
+            nonmatch = np.flatnonzero(~tail)
+            split = (nonmatch[-1] + 1) if nonmatch.size else 0
+            carry = pdf.iloc[split:]
+            head = pdf.iloc[:split]
+            if len(head):
+                yield merge_runs(head)
+        if carry is not None and len(carry):
+            yield merge_runs(carry)
+
+    return run
 
 
 def shard_expr(n_shards: int):
@@ -235,35 +343,42 @@ def build_postings(
     codec: int = CODEC_VARINT,
 ) -> DataFrame:
     """doc_terms (of ONE doc-shard) → packed postings (salting + merge)."""
-    if not salt_plan:
-        return doc_terms.withColumn("salt", F.lit(0)).groupBy(
-            "field", "term", "salt"
-        ).applyInPandas(_pack_group(avgdl_by_field, codec), schema=POSTINGS_SCHEMA_SPARK)
-
-    plan_pdf = pd.DataFrame(
-        [(f, t, k) for (f, t), k in salt_plan.items()],
-        columns=["field", "term", "salt_k"],
-    )
-    plan_df = F.broadcast(spark.createDataFrame(plan_pdf))
-    tagged = doc_terms.join(plan_df, ["field", "term"], "left")
-
-    # Light terms: one group each, no salt, no merge pass.
-    light = (
-        tagged.filter(F.col("salt_k").isNull())
-        .withColumn("salt", F.lit(0))
-        .groupBy("field", "term", "salt")
-        .applyInPandas(_pack_group(avgdl_by_field, codec), schema=POSTINGS_SCHEMA_SPARK)
-    )
-    # Heavy terms: salted partial packs, then a blob-level merge — the
-    # second shuffle moves ~3 bytes/posting instead of full rows.
-    heavy = (
-        tagged.filter(F.col("salt_k").isNotNull())
-        .withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.col("salt_k")).cast("int")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt_plan:
+        plan_pdf = pd.DataFrame(
+            [(f, t, k) for (f, t), k in salt_plan.items()],
+            columns=["field", "term", "salt_k"],
         )
-        .groupBy("field", "term", "salt")
-        .applyInPandas(_pack_group(avgdl_by_field, codec), schema=POSTINGS_SCHEMA_SPARK)
-        .groupBy("field", "term")
-        .applyInPandas(_merge_group(avgdl_by_field, codec), schema=POSTINGS_SCHEMA_SPARK)
+        plan_df = F.broadcast(spark.createDataFrame(plan_pdf))
+        salted = doc_terms.join(plan_df, ["field", "term"], "left").withColumn(
+            "salt",
+            F.when(
+                F.col("salt_k").isNotNull(),
+                F.pmod(F.xxhash64(F.col("doc_id")), F.col("salt_k")),
+            ).otherwise(F.lit(0)).cast("int"),
+        ).drop("salt_k")
+    else:
+        salted = doc_terms.withColumn("salt", F.lit(0).cast("int"))
+
+    # ONE shuffle: hash-partition on the group key, sort within partitions so
+    # groups are contiguous AND doc_ids arrive pre-sorted, then pack every
+    # run in a mapInPandas pass (no per-group applyInPandas overhead).
+    packed = (
+        salted.repartition(n_parts, "field", "term", "salt")
+        .sortWithinPartitions("field", "term", "salt", "doc_id")
+        .mapInPandas(_pack_partition(avgdl_by_field, codec),
+                     schema=POSTINGS_SCHEMA_SPARK)
     )
-    return light.unionByName(heavy)
+    if not salt_plan:
+        return packed
+
+    # Salted-partial merge: re-shuffle the PACKED rows (≈3 bytes/posting —
+    # 1-2 orders of magnitude lighter than the row shuffle above) and
+    # ordered-concat each term's partials; unsalted runs pass through.
+    merged = (
+        packed.repartition(n_parts, "field", "term")
+        .sortWithinPartitions("field", "term", "salt")
+        .mapInPandas(_merge_partition(avgdl_by_field, codec),
+                     schema=POSTINGS_SCHEMA_SPARK)
+    )
+    return merged

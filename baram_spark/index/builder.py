@@ -154,8 +154,14 @@ class IndexBuilder:
                 self.spark, shard_terms, avgdl_by_field, salt_plan_all,
                 codec=self.codec,
             )
-            postings.sortWithinPartitions("term").write.mode("overwrite").parquet(
-                f"{self.postings_path}/shard={k}"
+            # few term-sorted files per shard: fast min/max-pruned lookups.
+            # repartition (not coalesce) so the upstream pack/merge stages
+            # keep full parallelism — the blobs being shuffled are tiny.
+            (
+                postings.repartition(4, "term")
+                .sortWithinPartitions("field", "term")
+                .write.mode("overwrite")
+                .parquet(f"{self.postings_path}/shard={k}")
             )
             n_postings = (
                 self.spark.read.parquet(f"{self.postings_path}/shard={k}")

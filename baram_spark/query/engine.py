@@ -33,7 +33,12 @@ MAX_K = 100  # REST cap, src/commands/serve.rs:426
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 preload: bool = False):
+        """``preload=True`` pins term stats + posting blobs in driver memory
+        (the 'open index' serving mode — an OpenSearch node keeps exactly
+        this resident); queries then run with zero Spark jobs. Default is
+        the cluster mode: parquet-pruned lookups + per-shard scoring."""
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
         self.corpus_stats = {
@@ -42,17 +47,41 @@ class SearchEngine:
         }
         self._postings = spark.read.parquet(f"{self.index_dir}/postings")
         self._term_stats = spark.read.parquet(f"{self.index_dir}/term_stats")
+        self._mem_df: dict | None = None
+        self._mem_postings: dict | None = None
+        if preload:
+            self._mem_df = {
+                (r["field"], r["term"]): int(r["df"])
+                for r in self._term_stats.collect()
+            }
+            self._mem_postings = {}
+            for r in self._postings.collect():
+                self._mem_postings.setdefault((r["field"], r["term"]), []).append(
+                    (int(r["shard"]), bytes(r["postings"]), bytes(r["skips"]),
+                     bytes(r["blockmax"]))
+                )
 
     # ------------------------------------------------------------------
     def _weights(self, terms: list[str]) -> dict:
-        """{(field, term): boost * idf} from global df (one pruned scan)."""
+        """{(field, term): boost * idf} from global df (one pruned scan,
+        or the in-memory dictionary when preloaded)."""
         if not terms:
             return {}
-        rows = (
-            self._term_stats.filter(F.col("term").isin(terms))
-            .select("field", "term", "df")
-            .collect()
-        )
+        if self._mem_df is not None:
+            pairs = [
+                (f, t, self._mem_df.get((f, t)))
+                for f in FIELDS
+                for t in terms
+            ]
+            rows = [
+                {"field": f, "term": t, "df": d} for f, t, d in pairs if d
+            ]
+        else:
+            rows = (
+                self._term_stats.filter(F.col("term").isin(terms))
+                .select("field", "term", "df")
+                .collect()
+            )
         weights = {}
         for r in rows:
             n_docs, _ = self.corpus_stats.get(r["field"], (0, 0.0))
@@ -88,19 +117,28 @@ class SearchEngine:
         scorer = score_blockmax if prune else score_exhaustive
 
         if mode == "local":
-            rows = self._postings_rows(terms).collect()
             by_shard: dict[int, list] = {}
-            for r in rows:
-                key = (r["field"], r["term"])
-                if key not in weights:
-                    continue
-                by_shard.setdefault(r["shard"], []).append(
-                    TermPostings(
-                        r["field"], r["term"], weights[key],
-                        bytes(r["postings"]), bytes(r["skips"]),
-                        bytes(r["blockmax"]), avgdls[r["field"]],
+            if self._mem_postings is not None:
+                for (field, term), w in weights.items():
+                    for shard, blob, skips, bmax in self._mem_postings.get(
+                        (field, term), ()
+                    ):
+                        by_shard.setdefault(shard, []).append(
+                            TermPostings(field, term, w, blob, skips, bmax,
+                                         avgdls[field])
+                        )
+            else:
+                for r in self._postings_rows(terms).collect():
+                    key = (r["field"], r["term"])
+                    if key not in weights:
+                        continue
+                    by_shard.setdefault(r["shard"], []).append(
+                        TermPostings(
+                            r["field"], r["term"], weights[key],
+                            bytes(r["postings"]), bytes(r["skips"]),
+                            bytes(r["blockmax"]), avgdls[r["field"]],
+                        )
                     )
-                )
             partials = []
             for shard_terms in by_shard.values():
                 partials.extend(scorer(shard_terms, k, min_score))

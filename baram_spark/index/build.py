@@ -46,14 +46,12 @@ DOCS_SCHEMA = (
     "author string, format string, content_hash string"
 )
 
-DOC_TERMS_SCHEMA = "doc_id long, field string, term string, tf int, dl int"
-
-POSTINGS_SCHEMA = (
-    "field string, term string, salt int, df long, "
-    "postings bytes, skips bytes, blockmax bytes"
+DOC_TERMS_SCHEMA = (
+    "doc_id long, field string, term string, tf int, dl int, first int"
 )
+
 POSTINGS_SCHEMA_SPARK = (
-    "field string, term string, salt int, df long, "
+    "shard int, field string, term string, salt int, df long, "
     "postings binary, skips binary, blockmax binary"
 )
 
@@ -92,7 +90,8 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
 
     def run(iterator):
         for pdf in iterator:
-            rows_doc, rows_field, rows_term, rows_tf, rows_dl = [], [], [], [], []
+            rows_doc, rows_field, rows_term = [], [], []
+            rows_tf, rows_dl, rows_first = [], [], []
             for doc_id, title, text in zip(
                 pdf["doc_id"].tolist(), pdf["title"].tolist(), pdf["text"].tolist()
             ):
@@ -101,12 +100,16 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
                     if not tokens:
                         continue
                     dl = len(tokens)
+                    first = 1  # flags one row per (doc, field): free
+                    # per-doc stats via write observations downstream
                     for term, tf in Counter(tokens).items():
                         rows_doc.append(doc_id)
                         rows_field.append(fname)
                         rows_term.append(term)
                         rows_tf.append(tf)
                         rows_dl.append(dl)
+                        rows_first.append(first)
+                        first = 0
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(rows_doc, dtype="int64"),
@@ -114,6 +117,7 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
                     "term": rows_term,
                     "tf": pd.Series(rows_tf, dtype="int32"),
                     "dl": pd.Series(rows_dl, dtype="int32"),
+                    "first": pd.Series(rows_first, dtype="int32"),
                 }
             )
 
@@ -158,6 +162,7 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
     dominates at ~tens of thousands of small terms is gone).
     """
     n = len(pdf)
+    shards = pdf["shard"].to_numpy()
     fields = pdf["field"].to_numpy()
     terms = pdf["term"].to_numpy()
     salts = pdf["salt"].to_numpy()
@@ -168,7 +173,7 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
     change[0] = True
     change[1:] = (
         (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
-        | (salts[1:] != salts[:-1])
+        | (salts[1:] != salts[:-1]) | (shards[1:] != shards[:-1])
     )
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
@@ -193,6 +198,7 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
             bmax_l.append(bmax)
     frame = pd.DataFrame(
         {
+            "shard": shards[starts],
             "field": fields[starts],
             "term": terms[starts],
             "salt": salts[starts],
@@ -202,6 +208,7 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
             "blockmax": bmax_l,
         }
     )
+    frame["shard"] = frame["shard"].astype("int32")
     frame["salt"] = frame["salt"].astype("int32")
     frame["df"] = frame["df"].astype("int64")
     return frame
@@ -222,11 +229,13 @@ def _pack_partition(avgdl_by_field: dict, codec: int):
             if n == 0:
                 continue
             # hold back the trailing run (it may continue in the next batch)
+            lsh = pdf["shard"].iat[n - 1]
             lf = pdf["field"].iat[n - 1]
             lt = pdf["term"].iat[n - 1]
             ls = pdf["salt"].iat[n - 1]
             tail_mask = (
-                (pdf["field"].to_numpy() == lf)
+                (pdf["shard"].to_numpy() == lsh)
+                & (pdf["field"].to_numpy() == lf)
                 & (pdf["term"].to_numpy() == lt)
                 & (pdf["salt"].to_numpy() == ls)
             )
@@ -252,19 +261,22 @@ def _merge_partition(avgdl_by_field: dict, codec: int):
     """
 
     def merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        shards = pdf["shard"].to_numpy()
         fields = pdf["field"].to_numpy()
         terms = pdf["term"].to_numpy()
         n = len(pdf)
         change = np.empty(n, dtype=bool)
         change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+        change[1:] = ((terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+                      | (shards[1:] != shards[:-1]))
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
         out = {
-            "field": [], "term": [], "salt": [], "df": [],
+            "shard": [], "field": [], "term": [], "salt": [], "df": [],
             "postings": [], "skips": [], "blockmax": [],
         }
         for st, en in zip(starts, ends):
+            out["shard"].append(int(shards[st]))
             out["field"].append(fields[st])
             out["term"].append(terms[st])
             out["salt"].append(0)
@@ -296,6 +308,7 @@ def _merge_partition(avgdl_by_field: dict, codec: int):
             out["skips"].append(skips)
             out["blockmax"].append(bmax)
         frame = pd.DataFrame(out)
+        frame["shard"] = frame["shard"].astype("int32")
         frame["salt"] = frame["salt"].astype("int32")
         frame["df"] = frame["df"].astype("int64")
         return frame
@@ -309,9 +322,12 @@ def _merge_partition(avgdl_by_field: dict, codec: int):
             n = len(pdf)
             if n == 0:
                 continue
+            lsh = pdf["shard"].iat[n - 1]
             lf = pdf["field"].iat[n - 1]
             lt = pdf["term"].iat[n - 1]
-            tail = (pdf["field"].to_numpy() == lf) & (pdf["term"].to_numpy() == lt)
+            tail = ((pdf["shard"].to_numpy() == lsh)
+                    & (pdf["field"].to_numpy() == lf)
+                    & (pdf["term"].to_numpy() == lt))
             nonmatch = np.flatnonzero(~tail)
             split = (nonmatch[-1] + 1) if nonmatch.size else 0
             carry = pdf.iloc[split:]
@@ -342,7 +358,10 @@ def build_postings(
     salt_plan: dict,
     codec: int = CODEC_VARINT,
 ) -> DataFrame:
-    """doc_terms (of ONE doc-shard) → packed postings (salting + merge)."""
+    """doc_terms (WITH shard column) → packed postings (salting + merge).
+
+    Group key is (shard, field, term[, salt]) so one job can build any
+    subset of shards; output keeps ``shard`` for partitionBy writes."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if salt_plan:
         plan_pdf = pd.DataFrame(
@@ -364,8 +383,8 @@ def build_postings(
     # groups are contiguous AND doc_ids arrive pre-sorted, then pack every
     # run in a mapInPandas pass (no per-group applyInPandas overhead).
     packed = (
-        salted.repartition(n_parts, "field", "term", "salt")
-        .sortWithinPartitions("field", "term", "salt", "doc_id")
+        salted.repartition(n_parts, "shard", "field", "term", "salt")
+        .sortWithinPartitions("shard", "field", "term", "salt", "doc_id")
         .mapInPandas(_pack_partition(avgdl_by_field, codec),
                      schema=POSTINGS_SCHEMA_SPARK)
     )
@@ -376,8 +395,8 @@ def build_postings(
     # 1-2 orders of magnitude lighter than the row shuffle above) and
     # ordered-concat each term's partials; unsalted runs pass through.
     merged = (
-        packed.repartition(n_parts, "field", "term")
-        .sortWithinPartitions("field", "term", "salt")
+        packed.repartition(n_parts, "shard", "field", "term")
+        .sortWithinPartitions("shard", "field", "term", "salt")
         .mapInPandas(_merge_partition(avgdl_by_field, codec),
                      schema=POSTINGS_SCHEMA_SPARK)
     )

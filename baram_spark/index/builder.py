@@ -28,11 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .build import (
     CODEC_VARINT,
     build_postings,
-    corpus_stats,
     extract_docs,
     plan_salts,
     shard_expr,
-    term_stats,
     tokenize_docs,
 )
 from .lineage import LineageLedger, StageTimer
@@ -46,7 +44,8 @@ class IndexBuilder:
         n_shards: int = 8,
         salt_threshold: int = 50_000,
         codec: int = CODEC_VARINT,
-        shard_concurrency: int = 4,
+        shard_concurrency: int = 2,
+        shards_per_job: int | None = None,
     ):
         self.spark = spark
         self.out = out_dir.rstrip("/")
@@ -54,6 +53,9 @@ class IndexBuilder:
         self.salt_threshold = salt_threshold
         self.codec = codec
         self.shard_concurrency = shard_concurrency
+        # fresh builds: few big jobs (full parallelism); resume rebuilds are
+        # naturally small. Default: half the shards per job.
+        self.shards_per_job = shards_per_job or max(n_shards // 2, 1)
         self.ledger = LineageLedger(spark, f"{self.out}/lineage")
 
     # -- paths --------------------------------------------------------------
@@ -83,14 +85,21 @@ class IndexBuilder:
         done = self.ledger.completed(fingerprint) if resume else set()
         metrics: dict = {"fingerprint": fingerprint, "resumed_stages": []}
 
+        from pyspark.sql import Observation
+
         if ("docs", 0) in done:
             metrics["resumed_stages"].append("docs")
         else:
+            obs = Observation("docs")
             with StageTimer() as t:
-                n_in = pages.count()
-                extract_docs(pages).write.mode("overwrite").parquet(self.docs_path)
-                n_out = self.spark.read.parquet(self.docs_path).count()
-            self.ledger.record("docs", 0, fingerprint, n_in, n_out, t.seconds)
+                (
+                    extract_docs(pages)
+                    .observe(obs, F.count(F.lit(1)).alias("rows"))
+                    .write.mode("overwrite")
+                    .parquet(self.docs_path)
+                )
+                n_out = int(obs.get["rows"])
+            self.ledger.record("docs", 0, fingerprint, 0, n_out, t.seconds)
             metrics["docs_per_sec"] = n_out / t.seconds if t.seconds else 0.0
             metrics["extract_seconds"] = t.seconds
         docs = self.spark.read.parquet(self.docs_path)
@@ -98,44 +107,59 @@ class IndexBuilder:
         if ("doc_terms", 0) in done:
             metrics["resumed_stages"].append("doc_terms")
         else:
+            # corpus_stats (per-field N + avgdl) rides along as write
+            # observations on the `first` flag — no separate pass over the
+            # 10-100x-larger doc_terms table.
+            obs = Observation("doc_terms")
+            obs_aggs = [F.count(F.lit(1)).alias("rows")]
+            for f in ("title", "content"):
+                cond = F.col("field") == f
+                obs_aggs.append(
+                    F.sum(F.when(cond, F.col("first")).otherwise(0)).alias(f"n_{f}")
+                )
+                obs_aggs.append(
+                    F.sum(
+                        F.when(cond, F.col("dl") * F.col("first")).otherwise(0)
+                    ).alias(f"dl_{f}")
+                )
             with StageTimer() as t:
                 (
                     tokenize_docs(docs)
                     .withColumn("shard", shard_expr(self.n_shards))
+                    .observe(obs, *obs_aggs)
                     .write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(self.doc_terms_path)
                 )
-                n_out = self.spark.read.parquet(self.doc_terms_path).count()
+                got = obs.get
+                n_out = int(got["rows"])
+                stats_rows = [
+                    (f, int(got[f"n_{f}"] or 0),
+                     float(got[f"dl_{f}"] or 0) / max(int(got[f"n_{f}"] or 0), 1))
+                    for f in ("title", "content")
+                ]
+                self.spark.createDataFrame(
+                    stats_rows, "field string, n_docs long, avgdl double"
+                ).coalesce(1).write.mode("overwrite").parquet(self.corpus_stats_path)
             self.ledger.record("doc_terms", 0, fingerprint, 0, n_out, t.seconds)
             metrics["tokenize_seconds"] = t.seconds
         doc_terms = self.spark.read.parquet(self.doc_terms_path)
-
-        if ("stats", 0) in done:
-            metrics["resumed_stages"].append("stats")
-        else:
-            with StageTimer() as t:
-                corpus_stats(doc_terms).coalesce(1).write.mode("overwrite").parquet(
-                    self.corpus_stats_path
-                )
-                # term-sorted files → parquet min/max row-group pruning for
-                # the query-time `term IN (...)` lookup
-                term_stats(doc_terms).sort("term").write.mode("overwrite").parquet(
-                    self.term_stats_path
-                )
-            self.ledger.record("stats", 0, fingerprint, 0, 0, t.seconds)
-            metrics["stats_seconds"] = t.seconds
 
         avgdl_by_field = {
             r["field"]: float(r["avgdl"])
             for r in self.spark.read.parquet(self.corpus_stats_path).collect()
         }
-        heavy_pdf = (
-            self.spark.read.parquet(self.term_stats_path)
+        # salt planning needs only the Zipf head — a 5% sample finds it at
+        # 1/20th the cost; df estimates scale back up by 1/fraction.
+        frac = 0.05
+        sample_counts = (
+            doc_terms.sample(fraction=frac, seed=42)
+            .groupBy("field", "term")
+            .agg((F.count("*") / frac).cast("long").alias("df"))
             .filter(F.col("df") > self.salt_threshold)
             .toPandas()
         )
-        salt_plan_all = plan_salts(heavy_pdf, self.salt_threshold)
+        salt_plan_all = plan_salts(sample_counts, self.salt_threshold)
 
         todo = [
             k for k in range(self.n_shards)
@@ -145,10 +169,22 @@ class IndexBuilder:
             k for k in range(self.n_shards) if ("postings", k) in done
         )
 
-        def build_shard(k: int) -> tuple[int, int, float]:
+        # group the pending shards: a fresh build runs few big jobs at full
+        # cluster parallelism; a partial resume rebuilds exactly the missing
+        # shards (possibly one per group). Lineage stays per-shard either way.
+        groups = [
+            todo[i : i + self.shards_per_job]
+            for i in range(0, len(todo), self.shards_per_job)
+        ]
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        from pyspark.sql import Observation
+
+        def build_group(shard_ids: list[int]) -> int:
             t0 = time.time()
-            shard_terms = self.spark.read.parquet(
-                f"{self.doc_terms_path}/shard={k}"
+            shard_terms = (
+                self.spark.read.option("basePath", self.doc_terms_path)
+                .parquet(*[f"{self.doc_terms_path}/shard={k}" for k in shard_ids])
             )
             postings = build_postings(
                 self.spark, shard_terms, avgdl_by_field, salt_plan_all,
@@ -157,27 +193,42 @@ class IndexBuilder:
             # few term-sorted files per shard: fast min/max-pruned lookups.
             # repartition (not coalesce) so the upstream pack/merge stages
             # keep full parallelism — the blobs being shuffled are tiny.
+            # Per-shard posting counts ride along as write observations
+            # (no read-back job).
+            obs = Observation(f"postings-{shard_ids[0]}")
             (
-                postings.repartition(4, "term")
+                postings.repartition(4 * len(shard_ids), "shard", "term")
                 .sortWithinPartitions("field", "term")
+                .observe(
+                    obs,
+                    *[
+                        F.sum(
+                            F.when(F.col("shard") == k, F.col("df")).otherwise(0)
+                        ).alias(f"n{k}")
+                        for k in shard_ids
+                    ],
+                )
                 .write.mode("overwrite")
-                .parquet(f"{self.postings_path}/shard={k}")
-            )
-            n_postings = (
-                self.spark.read.parquet(f"{self.postings_path}/shard={k}")
-                .agg(F.sum("df"))
-                .collect()[0][0]
-                or 0
+                .partitionBy("shard")
+                .parquet(self.postings_path)
             )
             dt = time.time() - t0
-            self.ledger.record("postings", k, fingerprint, 0, int(n_postings), dt)
-            return k, int(n_postings), dt
+            got = obs.get
+            counts = {k: int(got[f"n{k}"] or 0) for k in shard_ids}
+            per_shard_dt = dt / max(len(shard_ids), 1)
+            self.ledger.record_many(
+                [
+                    ("postings", k, fingerprint, 0, counts.get(k, 0), per_shard_dt)
+                    for k in shard_ids
+                ]
+            )
+            return sum(counts.values())
 
         total_postings = 0
         t_post0 = time.time()
-        if todo:
+        if groups:
             with ThreadPoolExecutor(max_workers=self.shard_concurrency) as pool:
-                for k, n_postings, dt in pool.map(build_shard, todo):
+                for n_postings in pool.map(build_group, groups):
                     total_postings += n_postings
         metrics["postings_seconds"] = time.time() - t_post0
         metrics["postings_built"] = total_postings
@@ -185,4 +236,21 @@ class IndexBuilder:
             metrics["postings_per_sec"] = (
                 total_postings / metrics["postings_seconds"]
             )
+
+        # exact global term_stats (query-time idf) from the packed rows —
+        # (n_terms × n_shards) rows, 1-2 orders smaller than doc_terms.
+        if ("term_stats", 0) in done:
+            metrics["resumed_stages"].append("term_stats")
+        else:
+            with StageTimer() as t:
+                (
+                    self.spark.read.parquet(self.postings_path)
+                    .groupBy("field", "term")
+                    .agg(F.sum("df").alias("df"))
+                    .sort("term")
+                    .write.mode("overwrite")
+                    .parquet(self.term_stats_path)
+                )
+            self.ledger.record("term_stats", 0, fingerprint, 0, 0, t.seconds)
+            metrics["term_stats_seconds"] = t.seconds
         return metrics

@@ -71,6 +71,21 @@ class LineageLedger:
             self.path
         )
 
+    def record_many(self, rows: list[tuple]) -> None:
+        """Batch append: [(stage, partition_id, fingerprint, rows_in,
+        rows_out, seconds), ...] — one parquet append job for N entries."""
+        now = datetime.now(timezone.utc)
+        data = [
+            (
+                stage, pid, fp, rin, rout, float(sec),
+                float(rout / sec) if sec > 0 else 0.0, now,
+            )
+            for stage, pid, fp, rin, rout, sec in rows
+        ]
+        self.spark.createDataFrame(data, LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(self.path)
+
     def metrics(self) -> list[dict]:
         return [r.asDict() for r in self.read().orderBy("completed_at").collect()]
 

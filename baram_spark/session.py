@@ -23,7 +23,10 @@ def get_spark(
     master = master or f"local[{cores}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cores
-        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+        # ~2 waves per stage: stragglers (Zipf-skewed pack groups) cost a
+        # fraction of a wave instead of gating a single-wave stage; AQE
+        # coalesces the small ones back together.
+        shuffle_partitions = 64 if n == "*" else max(int(n) * 2, 16)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -32,7 +35,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

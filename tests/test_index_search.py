@@ -132,7 +132,7 @@ def test_resume_skips_completed(spark, index_dir, work_dir):
     )
     pages = pages_df(spark, N_DOCS, partitions=8)
     m2 = builder.build(pages, fingerprint=FP)
-    assert set(m2["resumed_stages"]) == {"docs", "doc_terms", "stats"}
+    assert set(m2["resumed_stages"]) == {"docs", "doc_terms", "term_stats"}
     assert m2["resumed_shards"] == [0, 1, 2, 3]
     assert m2["postings_built"] == 0  # nothing rebuilt
 
@@ -163,6 +163,6 @@ def test_partial_resume_rebuilds_only_missing(spark, index_dir, oracle):
 def test_lineage_metrics_recorded(spark, index_dir):
     rows = spark.read.parquet(f"{index_dir}/lineage").collect()
     stages = {r["stage"] for r in rows}
-    assert {"docs", "doc_terms", "stats", "postings"} <= stages
+    assert {"docs", "doc_terms", "term_stats", "postings"} <= stages
     docs_row = [r for r in rows if r["stage"] == "docs"][0]
     assert docs_row["rows_out"] > 0 and docs_row["rows_per_sec"] > 0

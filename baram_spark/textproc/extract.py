@@ -224,7 +224,19 @@ def _content_text(doc: Document, selectors: list[str]) -> str | None:
     for s in selectors:
         el = doc.select_first(_sel(s))
         if el is not None:
-            clean_html = _remove_noise_from_html(el.html())
+            # fast path: noise selectors are single compounds (no
+            # combinators), so matching them against el's subtree in the
+            # main DOM finds exactly the elements the reference finds by
+            # re-parsing el.html() as a fragment — one parse saved per doc.
+            content_html = el.html()
+            clean_html = content_html
+            for ns in NOISE_ELEMENTS:
+                nsel = _sel(ns)
+                for sub in el.iter():
+                    if sub is not el and nsel.matches(sub):
+                        noise_html = sub.html()
+                        if noise_html:
+                            clean_html = clean_html.replace(noise_html, "")
             text = parse_html(clean_html).root.text()
             if has_content(text):
                 return text

@@ -138,15 +138,21 @@ def _parse_compound(text: str) -> _Part:
     return part
 
 
+_SELECTOR_CACHE: dict = {}
+
+
 @dataclass
 class Selector:
-    """A parsed selector list. ``parse('#a span, .b > em')``."""
+    """A parsed selector list. ``parse('#a span, .b > em')`` (memoized)."""
 
     chains: list  # list of [( _Part, combinator ), ...]; combinator for part i
     # is how part i relates to part i+1 ('desc' or 'child'); last is None.
 
     @classmethod
     def parse(cls, text: str) -> "Selector":
+        cached = _SELECTOR_CACHE.get(text)
+        if cached is not None:
+            return cached
         chains = []
         for alt in text.split(","):
             alt = alt.strip()
@@ -168,7 +174,9 @@ class Selector:
                     combs.append("desc")
                 parts.append(_parse_compound(tok))
             chains.append((parts, combs))
-        return cls(chains)
+        sel = cls(chains)
+        _SELECTOR_CACHE[text] = sel
+        return sel
 
     def _chain_matches(self, el: Element, parts: list, combs: list) -> bool:
         if not parts[-1].matches(el):
@@ -198,21 +206,60 @@ class Selector:
 
 
 class Document:
-    """Parsed HTML document with document-order selection."""
+    """Parsed HTML document with indexed, document-order selection.
+
+    id/class/tag indexes are built once at parse time so a lookup tests only
+    the candidate set of the chain's rightmost compound (instead of walking
+    the whole tree per selector — the extraction path probes dozens of
+    selectors per page)."""
 
     def __init__(self, source: str, root: Element):
         self.source = source
         self.root = root
-        for el in root.iter():
+        self._order: dict[int, int] = {}
+        self._by_id: dict[str, list] = {}
+        self._by_class: dict[str, list] = {}
+        self._by_tag: dict[str, list] = {}
+        for i, el in enumerate(root.iter()):
             el._doc = self
+            self._order[id(el)] = i
+            if el is root:
+                continue
+            eid = el.attrs.get("id")
+            if eid:
+                self._by_id.setdefault(eid, []).append(el)
+            for c in el.classes:
+                self._by_class.setdefault(c, []).append(el)
+            self._by_tag.setdefault(el.tag, []).append(el)
+
+    def _candidates(self, part: _Part) -> list:
+        """Narrowest candidate list for a compound part (document order)."""
+        if part.id is not None:
+            return self._by_id.get(part.id, [])
+        if part.classes:
+            lists = [self._by_class.get(c, []) for c in part.classes]
+            return min(lists, key=len)
+        if part.tag is not None:
+            return self._by_tag.get(part.tag, [])
+        # attribute-only selector: fall back to every element
+        return [el for el in self.root.iter() if el is not self.root]
 
     def select(self, selector: str | Selector):
         sel = Selector.parse(selector) if isinstance(selector, str) else selector
-        for el in self.root.iter():
-            if el is self.root:
-                continue
-            if sel.matches(el):
-                yield el
+        hits: list = []
+        seen: set[int] = set()
+        for parts, combs in sel.chains:
+            last = parts[-1]
+            for el in self._candidates(last):
+                if id(el) in seen:
+                    continue
+                if last.matches(el) and sel._match_up(
+                    el, parts, combs, len(parts) - 2
+                ):
+                    seen.add(id(el))
+                    hits.append(el)
+        hits.sort(key=lambda e: self._order[id(e)])
+        yield from hits
 
     def select_first(self, selector: str | Selector) -> Element | None:
         return next(self.select(selector), None)
@@ -224,9 +271,10 @@ class _Builder(HTMLParser):
         self.source = source
         # line-start offsets for getpos() -> absolute offset conversion
         self._line_offsets = [0]
-        for i, ch in enumerate(source):
-            if ch == "\n":
-                self._line_offsets.append(i + 1)
+        pos = source.find("\n")
+        while pos >= 0:
+            self._line_offsets.append(pos + 1)
+            pos = source.find("\n", pos + 1)
         self.root = Element("[document]", {}, 0)
         self.root.end = len(source)
         self.stack = [self.root]

@@ -36,6 +36,13 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _burn(_):
+    s = 0
+    for i in range(30_000_000):
+        s += i * i
+    return s % 997
+
+
 def hardware_capacity() -> dict:
     """Effective parallel CPU capacity of this (shared, noisy) host: how
     many core-equivalents 8 vs 32 busy processes actually get. The
@@ -44,12 +51,7 @@ def hardware_capacity() -> dict:
     import multiprocessing as mp
     import time as _t
 
-    def burn(_):
-        s = 0
-        for i in range(30_000_000):
-            s += i * i
-        return s % 997
-
+    burn = _burn
     t = _t.time()
     burn(0)
     single = _t.time() - t
@@ -130,17 +132,24 @@ def main() -> None:
         results = {8: [], 32: []}
         for rep in range(REPS):
             for cores in (8, 32):
-                proc = subprocess.run(
-                    [sys.executable, "-c", child_src, str(cores), work,
-                     f"{work}/pages_small,{work}/pages_big",
-                     f"{N_SMALL},{N_BIG}"],
-                    check=True, capture_output=True, text=True,
-                )
-                line = [l for l in proc.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                results[cores].append(json.loads(line)["walls"])
-                shutil.rmtree(f"{work}/idx{cores}_0", ignore_errors=True)
-                shutil.rmtree(f"{work}/idx{cores}_1", ignore_errors=True)
+                for attempt in (1, 2):
+                    proc = subprocess.run(
+                        [sys.executable, "-c", child_src, str(cores), work,
+                         f"{work}/pages_small,{work}/pages_big",
+                         f"{N_SMALL},{N_BIG}"],
+                        capture_output=True, text=True,
+                    )
+                    shutil.rmtree(f"{work}/idx{cores}_0", ignore_errors=True)
+                    shutil.rmtree(f"{work}/idx{cores}_1", ignore_errors=True)
+                    if proc.returncode == 0:
+                        line = [l for l in proc.stdout.splitlines()
+                                if l.startswith("{")][-1]
+                        results[cores].append(json.loads(line)["walls"])
+                        break
+                    sys.stderr.write(
+                        f"[scaling] cores={cores} rep={rep} attempt={attempt} "
+                        f"failed:\n{proc.stderr[-1500:]}\n"
+                    )
 
         dn = N_BIG - N_SMALL
         t8s = min(w[0] for w in results[8])

@@ -1,21 +1,31 @@
-"""Resumable end-to-end index build orchestration.
+"""Resumable, incrementally-updatable index build orchestration.
 
-Drives the stages in ``build.py`` with per-shard lineage + resume:
+Drives the stages in ``build.py`` with per-shard lineage + resume and
+Lucene-segment-style GENERATIONS for incremental ingest:
 
     out_dir/
-      docs/                 extraction output (parquet)
-      doc_terms/shard=K/    tokenized rows, pre-partitioned by term shard
-      corpus_stats/         per-field N + avgdl
-      term_stats/           per-(field,term) df (salt planning + analytics)
-      postings/shard=K/     packed posting lists
-      lineage/              the resume + metrics ledger
+      docs/gen=G/                 extraction output per generation
+      doc_terms/gen=G/shard=K/    tokenized rows (doc-sharded)
+      corpus_stats/               GLOBAL per-field N + avgdl (overwritten)
+      gen_meta/                   per-(gen, field): n_docs, dl_sum and the
+                                  avgdl the generation was PACKED with
+                                  (block-max bound correction at query time)
+      term_stats/                 GLOBAL per-(field, term) df (overwritten)
+      postings/gen=G/shard=K/     packed posting lists
+      lineage/                    the resume + metrics ledger
 
-Each postings shard is an independent Spark job over only its
-``doc_terms/shard=K`` files (directory-pruned scan — the checkpoint
-prefilter reads no other shard's data, mirroring the reference's
-"skip without reading content" property, ``src/commands/index.rs:160-175``).
-Shards run concurrently on a small thread pool (FAIR scheduler), the
-local-mode stand-in for running shard groups as parallel cluster jobs.
+Fresh build = generation 0. ``build_incremental`` appends a new generation:
+new pages are prefiltered by ``warc_ts`` (the reference's ``--since`` mtime
+filter, ``src/commands/index.rs:115-158``) and anti-joined against already-
+indexed urls (the checkpoint/dedup prefilter, ``index.rs:160-175`` +
+``storage/dedup.rs:856-970``). Each document lives in exactly one
+generation, so a query scores every generation's postings independently and
+exactly; only the block-max BOUNDS need a safety factor when the global
+avgdl has grown since a generation was packed (see query/engine.py).
+
+Each postings shard is an independent lineage entry; a re-run skips
+completed shards and rebuilds only missing ones (idempotent dynamic
+partition overwrite).
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .build import (
     CODEC_VARINT,
@@ -34,6 +44,10 @@ from .build import (
     tokenize_docs,
 )
 from .lineage import LineageLedger, StageTimer
+
+GEN_META_SCHEMA = (
+    "gen int, field string, n_docs long, dl_sum long, avgdl_pack double"
+)
 
 
 class IndexBuilder:
@@ -58,7 +72,7 @@ class IndexBuilder:
         self.shards_per_job = shards_per_job or max(n_shards // 2, 1)
         self.ledger = LineageLedger(spark, f"{self.out}/lineage")
 
-    # -- paths --------------------------------------------------------------
+    # -- paths ----------------------------------------------------------
     @property
     def docs_path(self):
         return f"{self.out}/docs"
@@ -72,6 +86,10 @@ class IndexBuilder:
         return f"{self.out}/corpus_stats"
 
     @property
+    def gen_meta_path(self):
+        return f"{self.out}/gen_meta"
+
+    @property
     def term_stats_path(self):
         return f"{self.out}/term_stats"
 
@@ -79,78 +97,107 @@ class IndexBuilder:
     def postings_path(self):
         return f"{self.out}/postings"
 
-    # -- build --------------------------------------------------------------
-    def build(self, pages: DataFrame, fingerprint: str, resume: bool = True) -> dict:
-        """Run (or resume) the full build; returns throughput metrics."""
-        done = self.ledger.completed(fingerprint) if resume else set()
-        metrics: dict = {"fingerprint": fingerprint, "resumed_stages": []}
+    def _exists(self, path: str) -> bool:
+        import os
 
-        from pyspark.sql import Observation
+        return os.path.exists(path.removeprefix("file:"))
 
-        if ("docs", 0) in done:
-            metrics["resumed_stages"].append("docs")
-        else:
-            obs = Observation("docs")
-            with StageTimer() as t:
-                (
-                    extract_docs(pages)
-                    .observe(obs, F.count(F.lit(1)).alias("rows"))
-                    .write.mode("overwrite")
-                    .parquet(self.docs_path)
-                )
-                n_out = int(obs.get["rows"])
-            self.ledger.record("docs", 0, fingerprint, 0, n_out, t.seconds)
-            metrics["docs_per_sec"] = n_out / t.seconds if t.seconds else 0.0
-            metrics["extract_seconds"] = t.seconds
-        docs = self.spark.read.parquet(self.docs_path)
+    # -- stage helpers ----------------------------------------------------
+    def _stage_extract(self, pages, gen, stage, fingerprint, done, metrics):
+        if (stage, 0) in done:
+            metrics["resumed_stages"].append(stage)
+            return
+        obs = Observation(stage)
+        with StageTimer() as t:
+            (
+                extract_docs(pages)
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.mode("overwrite")
+                .parquet(f"{self.docs_path}/gen={gen}")
+            )
+            n_out = int(obs.get["rows"])
+        self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
+        metrics["docs_per_sec"] = n_out / t.seconds if t.seconds else 0.0
+        metrics["extract_seconds"] = t.seconds
+        metrics["docs_out"] = n_out
 
-        if ("doc_terms", 0) in done:
-            metrics["resumed_stages"].append("doc_terms")
-        else:
-            # corpus_stats (per-field N + avgdl) rides along as write
-            # observations on the `first` flag — no separate pass over the
-            # 10-100x-larger doc_terms table.
-            obs = Observation("doc_terms")
-            obs_aggs = [F.count(F.lit(1)).alias("rows")]
-            for f in ("title", "content"):
-                cond = F.col("field") == f
-                obs_aggs.append(
-                    F.sum(F.when(cond, F.col("first")).otherwise(0)).alias(f"n_{f}")
-                )
-                obs_aggs.append(
-                    F.sum(
-                        F.when(cond, F.col("dl") * F.col("first")).otherwise(0)
-                    ).alias(f"dl_{f}")
-                )
-            with StageTimer() as t:
-                (
-                    tokenize_docs(docs)
-                    .withColumn("shard", shard_expr(self.n_shards))
-                    .observe(obs, *obs_aggs)
-                    .write.mode("overwrite")
-                    .partitionBy("shard")
-                    .parquet(self.doc_terms_path)
-                )
-                got = obs.get
-                n_out = int(got["rows"])
-                stats_rows = [
-                    (f, int(got[f"n_{f}"] or 0),
-                     float(got[f"dl_{f}"] or 0) / max(int(got[f"n_{f}"] or 0), 1))
-                    for f in ("title", "content")
-                ]
-                self.spark.createDataFrame(
-                    stats_rows, "field string, n_docs long, avgdl double"
-                ).coalesce(1).write.mode("overwrite").parquet(self.corpus_stats_path)
-            self.ledger.record("doc_terms", 0, fingerprint, 0, n_out, t.seconds)
-            metrics["tokenize_seconds"] = t.seconds
-        doc_terms = self.spark.read.parquet(self.doc_terms_path)
+    def _stage_tokenize(self, gen, stage, fingerprint, done, metrics):
+        if (stage, 0) in done:
+            metrics["resumed_stages"].append(stage)
+            return
+        docs = self.spark.read.parquet(f"{self.docs_path}/gen={gen}")
+        # per-field corpus stats ride along as write observations on the
+        # `first` flag — no separate pass over the much larger doc_terms.
+        obs = Observation(f"doc_terms_{gen}")
+        obs_aggs = [F.count(F.lit(1)).alias("rows")]
+        for f in ("title", "content"):
+            cond = F.col("field") == f
+            obs_aggs.append(
+                F.sum(F.when(cond, F.col("first")).otherwise(0)).alias(f"n_{f}")
+            )
+            obs_aggs.append(
+                F.sum(
+                    F.when(cond, F.col("dl") * F.col("first")).otherwise(0)
+                ).alias(f"dl_{f}")
+            )
+        with StageTimer() as t:
+            (
+                tokenize_docs(docs)
+                .withColumn("shard", shard_expr(self.n_shards))
+                .observe(obs, *obs_aggs)
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(f"{self.doc_terms_path}/gen={gen}")
+            )
+            got = obs.get
+            n_out = int(got["rows"])
+            gen_rows = [
+                (gen, f, int(got[f"n_{f}"] or 0), int(got[f"dl_{f}"] or 0))
+                for f in ("title", "content")
+            ]
+            self._update_stats(gen, gen_rows)
+        self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
+        metrics["tokenize_seconds"] = t.seconds
 
-        avgdl_by_field = {
-            r["field"]: float(r["avgdl"])
-            for r in self.spark.read.parquet(self.corpus_stats_path).collect()
+    def _update_stats(self, gen: int, gen_rows: list[tuple]) -> None:
+        """Fold this generation into global corpus_stats + gen_meta."""
+        prior: dict[tuple[int, str], tuple[int, int, float]] = {}
+        if self._exists(self.gen_meta_path):
+            for r in self.spark.read.parquet(self.gen_meta_path).collect():
+                if r["gen"] != gen:
+                    prior[(r["gen"], r["field"])] = (
+                        r["n_docs"], r["dl_sum"], r["avgdl_pack"]
+                    )
+        # global avgdl including this generation — also the avgdl this
+        # generation's postings will be packed with
+        totals: dict[str, tuple[int, int]] = {}
+        for (g, f), (n, dl, _) in prior.items():
+            tn, tdl = totals.get(f, (0, 0))
+            totals[f] = (tn + n, tdl + dl)
+        for g, f, n, dl in gen_rows:
+            tn, tdl = totals.get(f, (0, 0))
+            totals[f] = (tn + n, tdl + dl)
+        avgdl_now = {
+            f: (dl / n if n else 0.0) for f, (n, dl) in totals.items()
         }
-        # salt planning needs only the Zipf head — a 5% sample finds it at
-        # 1/20th the cost; df estimates scale back up by 1/fraction.
+        meta_rows = [
+            (g, f, n, dl, p) for (g, f), (n, dl, p) in prior.items()
+        ] + [(gen, f, n, dl, avgdl_now[f]) for g, f, n, dl in gen_rows]
+        self.spark.createDataFrame(meta_rows, GEN_META_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(self.gen_meta_path)
+        stats_rows = [
+            (f, totals[f][0], avgdl_now[f]) for f in ("title", "content")
+            if f in totals
+        ]
+        self.spark.createDataFrame(
+            stats_rows, "field string, n_docs long, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(self.corpus_stats_path)
+
+    def _salt_plan(self, gen: int) -> dict:
+        """Salt planning needs only the Zipf head — a 5% sample finds it at
+        1/20th the cost; df estimates scale back up by 1/fraction."""
+        doc_terms = self.spark.read.parquet(f"{self.doc_terms_path}/gen={gen}")
         frac = 0.05
         sample_counts = (
             doc_terms.sample(fraction=frac, seed=42)
@@ -159,43 +206,45 @@ class IndexBuilder:
             .filter(F.col("df") > self.salt_threshold)
             .toPandas()
         )
-        salt_plan_all = plan_salts(sample_counts, self.salt_threshold)
+        return plan_salts(sample_counts, self.salt_threshold)
 
+    def _stage_postings(self, gen, stage_prefix, fingerprint, done, metrics):
+        avgdl_by_field = {
+            r["field"]: float(r["avgdl"])
+            for r in self.spark.read.parquet(self.corpus_stats_path).collect()
+        }
+        salt_plan = self._salt_plan(gen)
         todo = [
             k for k in range(self.n_shards)
-            if ("postings", k) not in done
+            if (stage_prefix, k) not in done
         ]
         metrics["resumed_shards"] = sorted(
-            k for k in range(self.n_shards) if ("postings", k) in done
+            k for k in range(self.n_shards) if (stage_prefix, k) in done
         )
-
-        # group the pending shards: a fresh build runs few big jobs at full
-        # cluster parallelism; a partial resume rebuilds exactly the missing
-        # shards (possibly one per group). Lineage stays per-shard either way.
         groups = [
             todo[i : i + self.shards_per_job]
             for i in range(0, len(todo), self.shards_per_job)
         ]
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-        from pyspark.sql import Observation
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        gen_doc_terms = f"{self.doc_terms_path}/gen={gen}"
+        gen_postings = f"{self.postings_path}/gen={gen}"
 
         def build_group(shard_ids: list[int]) -> int:
             t0 = time.time()
             shard_terms = (
-                self.spark.read.option("basePath", self.doc_terms_path)
-                .parquet(*[f"{self.doc_terms_path}/shard={k}" for k in shard_ids])
+                self.spark.read.option("basePath", gen_doc_terms)
+                .parquet(*[f"{gen_doc_terms}/shard={k}" for k in shard_ids])
             )
             postings = build_postings(
-                self.spark, shard_terms, avgdl_by_field, salt_plan_all,
+                self.spark, shard_terms, avgdl_by_field, salt_plan,
                 codec=self.codec,
             )
-            # few term-sorted files per shard: fast min/max-pruned lookups.
-            # repartition (not coalesce) so the upstream pack/merge stages
-            # keep full parallelism — the blobs being shuffled are tiny.
-            # Per-shard posting counts ride along as write observations
-            # (no read-back job).
-            obs = Observation(f"postings-{shard_ids[0]}")
+            # few term-sorted files per shard → min/max-pruned lookups;
+            # repartition (not coalesce) keeps upstream parallelism; counts
+            # ride along as write observations.
+            obs = Observation(f"postings-{gen}-{shard_ids[0]}")
             (
                 postings.repartition(4 * len(shard_ids), "shard", "term")
                 .sortWithinPartitions("field", "term")
@@ -210,7 +259,7 @@ class IndexBuilder:
                 )
                 .write.mode("overwrite")
                 .partitionBy("shard")
-                .parquet(self.postings_path)
+                .parquet(gen_postings)
             )
             dt = time.time() - t0
             got = obs.get
@@ -218,39 +267,111 @@ class IndexBuilder:
             per_shard_dt = dt / max(len(shard_ids), 1)
             self.ledger.record_many(
                 [
-                    ("postings", k, fingerprint, 0, counts.get(k, 0), per_shard_dt)
+                    (stage_prefix, k, fingerprint, 0, counts.get(k, 0),
+                     per_shard_dt)
                     for k in shard_ids
                 ]
             )
             return sum(counts.values())
 
         total_postings = 0
-        t_post0 = time.time()
+        t0 = time.time()
         if groups:
             with ThreadPoolExecutor(max_workers=self.shard_concurrency) as pool:
                 for n_postings in pool.map(build_group, groups):
                     total_postings += n_postings
-        metrics["postings_seconds"] = time.time() - t_post0
+        metrics["postings_seconds"] = time.time() - t0
         metrics["postings_built"] = total_postings
         if metrics["postings_seconds"] > 0 and total_postings:
             metrics["postings_per_sec"] = (
                 total_postings / metrics["postings_seconds"]
             )
 
-        # exact global term_stats (query-time idf) from the packed rows —
-        # (n_terms × n_shards) rows, 1-2 orders smaller than doc_terms.
-        if ("term_stats", 0) in done:
-            metrics["resumed_stages"].append("term_stats")
-        else:
-            with StageTimer() as t:
-                (
-                    self.spark.read.parquet(self.postings_path)
-                    .groupBy("field", "term")
-                    .agg(F.sum("df").alias("df"))
-                    .sort("term")
-                    .write.mode("overwrite")
-                    .parquet(self.term_stats_path)
-                )
-            self.ledger.record("term_stats", 0, fingerprint, 0, 0, t.seconds)
-            metrics["term_stats_seconds"] = t.seconds
+    def _stage_term_stats(self, stage, fingerprint, done, metrics):
+        """Exact GLOBAL term_stats (query idf) from packed rows across all
+        generations — (n_terms × n_shards × n_gens) rows, far smaller than
+        doc_terms."""
+        if (stage, 0) in done:
+            metrics["resumed_stages"].append(stage)
+            return
+        with StageTimer() as t:
+            (
+                self.spark.read.parquet(self.postings_path)
+                .groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .sort("term")
+                .write.mode("overwrite")
+                .parquet(self.term_stats_path)
+            )
+        self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
+        metrics["term_stats_seconds"] = t.seconds
+
+    # -- public API -------------------------------------------------------
+    def build(self, pages: DataFrame, fingerprint: str,
+              resume: bool = True) -> dict:
+        """Fresh build (generation 0); returns throughput metrics."""
+        done = self.ledger.completed(fingerprint) if resume else set()
+        metrics: dict = {"fingerprint": fingerprint, "gen": 0,
+                         "resumed_stages": []}
+        self._stage_extract(pages, 0, "docs", fingerprint, done, metrics)
+        self._stage_tokenize(0, "doc_terms", fingerprint, done, metrics)
+        self._stage_postings(0, "postings", fingerprint, done, metrics)
+        self._stage_term_stats("term_stats", fingerprint, done, metrics)
         return metrics
+
+    def build_incremental(self, pages: DataFrame, fingerprint: str,
+                          since=None, resume: bool = True) -> dict:
+        """Append a new generation with only NEW pages.
+
+        ``since`` prunes by warc_ts before any content is read (partition
+        pruning at scale); the anti-join against indexed urls is the
+        dedup/checkpoint tier. Re-running with the same fingerprint resumes
+        at per-shard granularity like the base build.
+        """
+        gens = self.generations()
+        gen = (max(gens) + 1) if gens else 0
+        # resume within the same fingerprint keeps the same gen number
+        prior = [
+            r for r in (self.ledger.completed(fingerprint) if resume else set())
+        ]
+        if prior and gens:
+            gen = max(gens)
+        done = self.ledger.completed(fingerprint) if resume else set()
+        metrics: dict = {"fingerprint": fingerprint, "gen": gen,
+                         "resumed_stages": []}
+        if since is not None:
+            pages = pages.filter(F.col("warc_ts") >= F.lit(since))
+        if gen > 0:
+            known = self.spark.read.parquet(self.docs_path).select("url")
+            pages = pages.join(known, "url", "left_anti")
+        stage = lambda name: f"{name}.g{gen}"
+        self._stage_extract(pages, gen, stage("docs"), fingerprint, done, metrics)
+        if metrics.get("docs_out") == 0 or not self._exists(
+            f"{self.docs_path}/gen={gen}"
+        ):
+            # nothing new in this wave: drop the empty generation dir and
+            # record the no-op (the anti-join prefilter did its job)
+            import shutil
+
+            shutil.rmtree(
+                f"{self.docs_path}/gen={gen}".removeprefix("file:"),
+                ignore_errors=True,
+            )
+            metrics["postings_built"] = 0
+            return metrics
+        self._stage_tokenize(gen, stage("doc_terms"), fingerprint, done, metrics)
+        self._stage_postings(gen, stage("postings"), fingerprint, done, metrics)
+        self._stage_term_stats(stage("term_stats"), fingerprint, done, metrics)
+        return metrics
+
+    def generations(self) -> list[int]:
+        import os
+
+        base = self.postings_path.removeprefix("file:")
+        if not os.path.exists(base):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(base)
+            if d.startswith("gen=")
+        )

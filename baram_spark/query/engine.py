@@ -47,6 +47,19 @@ class SearchEngine:
         }
         self._postings = spark.read.parquet(f"{self.index_dir}/postings")
         self._term_stats = spark.read.parquet(f"{self.index_dir}/term_stats")
+        self._has_gens = "gen" in self._postings.columns
+        # block-max bound correction per (gen, field): avgdl_now/avgdl_pack
+        # capped below at 1 (see wand.TermPostings)
+        self._bound_factor: dict = {}
+        import os
+        gm_path = f"{self.index_dir}/gen_meta"
+        if self._has_gens and os.path.exists(gm_path.removeprefix("file:")):
+            for r in spark.read.parquet(gm_path).collect():
+                _, avgdl_now = self.corpus_stats.get(r["field"], (0, 0.0))
+                pack = float(r["avgdl_pack"]) or avgdl_now
+                self._bound_factor[(int(r["gen"]), r["field"])] = max(
+                    1.0, avgdl_now / pack if pack else 1.0
+                )
         self._mem_df: dict | None = None
         self._mem_postings: dict | None = None
         if preload:
@@ -56,9 +69,10 @@ class SearchEngine:
             }
             self._mem_postings = {}
             for r in self._postings.collect():
+                gen = int(r["gen"]) if self._has_gens else 0
                 self._mem_postings.setdefault((r["field"], r["term"]), []).append(
                     (int(r["shard"]), bytes(r["postings"]), bytes(r["skips"]),
-                     bytes(r["blockmax"]))
+                     bytes(r["blockmax"]), gen)
                 )
 
     # ------------------------------------------------------------------
@@ -92,9 +106,13 @@ class SearchEngine:
         return weights
 
     def _postings_rows(self, terms: list[str]) -> DataFrame:
-        return self._postings.filter(
+        cols = ["shard", "field", "term", "postings", "skips", "blockmax"]
+        sel = self._postings.filter(
             F.col("term").isin(terms) & F.col("field").isin(list(FIELDS))
-        ).select("shard", "field", "term", "postings", "skips", "blockmax")
+        )
+        if self._has_gens:
+            return sel.select(*cols, "gen")
+        return sel.select(*cols).withColumn("gen", F.lit(0))
 
     # ------------------------------------------------------------------
     def search(
@@ -120,12 +138,15 @@ class SearchEngine:
             by_shard: dict[int, list] = {}
             if self._mem_postings is not None:
                 for (field, term), w in weights.items():
-                    for shard, blob, skips, bmax in self._mem_postings.get(
+                    for shard, blob, skips, bmax, gen in self._mem_postings.get(
                         (field, term), ()
                     ):
                         by_shard.setdefault(shard, []).append(
-                            TermPostings(field, term, w, blob, skips, bmax,
-                                         avgdls[field])
+                            TermPostings(
+                                field, term, w, blob, skips, bmax,
+                                avgdls[field],
+                                self._bound_factor.get((gen, field), 1.0),
+                            )
                         )
             else:
                 for r in self._postings_rows(terms).collect():
@@ -137,6 +158,9 @@ class SearchEngine:
                             r["field"], r["term"], weights[key],
                             bytes(r["postings"]), bytes(r["skips"]),
                             bytes(r["blockmax"]), avgdls[r["field"]],
+                            self._bound_factor.get(
+                                (int(r["gen"]), r["field"]), 1.0
+                            ),
                         )
                     )
             partials = []
@@ -146,6 +170,8 @@ class SearchEngine:
 
         # distributed: per-shard scoring in executors, k-merge on driver
         out_schema = "doc_id long, score double"
+
+        bound_factor = dict(self._bound_factor)
 
         def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             tps = []
@@ -158,6 +184,7 @@ class SearchEngine:
                         row.field, row.term, weights[wkey],
                         bytes(row.postings), bytes(row.skips),
                         bytes(row.blockmax), avgdls[row.field],
+                        bound_factor.get((int(row.gen), row.field), 1.0),
                     )
                 )
             hits = scorer(tps, k, min_score)

@@ -42,13 +42,21 @@ class TermPostings:
 
     def __init__(self, field: str, term: str, weight: float,
                  postings_blob: bytes, skips_blob: bytes,
-                 blockmax_blob: bytes, avgdl: float):
+                 blockmax_blob: bytes, avgdl: float,
+                 bound_factor: float = 1.0):
+        """``bound_factor`` ≥ 1 rescales the stored block-max bounds when
+        the corpus avgdl has GROWN since this posting list was packed
+        (incremental generations): true tf-norms rise with avgdl, and
+        avgdl_now/avgdl_pack is a proven upper bound on that rise, so the
+        scaled bounds stay safe. Scoring itself always uses current avgdl
+        exactly — only pruning bounds need the correction."""
         self.field = field
         self.term = term
         self.weight = weight
         self.blob = postings_blob
         self.last_ids, self.offsets, self.counts = decode_skips(skips_blob)
-        self.blockmax = decode_blockmax(blockmax_blob)
+        bm = decode_blockmax(blockmax_blob)
+        self.blockmax = bm * bound_factor if bound_factor != 1.0 else bm
         self.avgdl = avgdl
 
     @property

@@ -1,0 +1,70 @@
+"""Structured-Streaming ingest → incremental index generations (T1/T2).
+
+The reference runs on systemd timers — crawl every 30 min, index every 2 h
+(``/root/reference/ARCHITECTURE.md:328-333``) with ``--since`` + checkpoint
+prefilters. The Spark-native equivalent is a Structured Streaming source
+over the pages table with ``Trigger.AvailableNow`` (drain-everything-then-
+stop — exactly the periodic-batch cadence) and ``foreachBatch`` feeding each
+micro-batch into ``IndexBuilder.build_incremental``:
+
+- Spark's streaming checkpoint tracks which input FILES were consumed
+  (the ``--since`` mtime analog, exactly-once per file);
+- the builder's url anti-join + per-shard lineage dedupe and resume WITHIN
+  a batch (the reference's processed-id checkpoint analog);
+- each micro-batch becomes one index generation, queryable immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..index.builder import IndexBuilder
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "title string, shape string"
+)
+
+
+def stream_build(
+    spark: SparkSession,
+    pages_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 8,
+    salt_threshold: int = 50_000,
+    available_now: bool = True,
+    schema: str = PAGES_SCHEMA,
+):
+    """Drain all unprocessed page files into incremental index generations.
+
+    Returns the terminated StreamingQuery. With ``available_now`` the call
+    blocks until the backlog is indexed and then stops — run it from a
+    scheduler at the reference's 2h cadence for the identical behavior.
+    """
+    builder = IndexBuilder(
+        spark, index_dir, n_shards=n_shards, salt_threshold=salt_threshold
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        builder.build_incremental(
+            batch_df, fingerprint=f"stream-batch-{batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(pages_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,112 @@
+"""Incremental generations + streaming ingest: new docs only, rank identity
+across generations, block-max bound safety after avgdl drift."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from baram_spark.corpus import make_query_set, pages_df
+from baram_spark.index.builder import IndexBuilder
+from baram_spark.query.bm25 import BruteForceIndex
+from baram_spark.query.engine import SearchEngine
+
+N_BASE = 300
+N_ALL = 500
+
+
+def _oracle(spark, index_dir):
+    docs = (
+        spark.read.parquet(f"{index_dir}/docs")
+        .select("doc_id", "title", "text")
+        .toPandas()
+    )
+    return BruteForceIndex.build(
+        [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()]
+    )
+
+
+def _norm(hits):
+    return [(d, round(s, 9)) for d, s in hits]
+
+
+@pytest.fixture(scope="module")
+def inc_index(spark, work_dir):
+    out = f"{work_dir}/inc"
+    builder = IndexBuilder(spark, out, n_shards=4, salt_threshold=100)
+    builder.build(pages_df(spark, N_BASE, partitions=4), fingerprint="base")
+    # second wave: overlap [0, N_BASE) must be deduped away
+    m = builder.build_incremental(
+        pages_df(spark, N_ALL, partitions=4), fingerprint="wave2"
+    )
+    return out, m
+
+
+def test_incremental_adds_only_new_docs(spark, inc_index):
+    out, m = inc_index
+    assert m["gen"] == 1
+    docs = spark.read.parquet(f"{out}/docs")
+    total = docs.count()
+    gen1 = docs.filter(F.col("gen") == 1).count()
+    base = docs.filter(F.col("gen") == 0).count()
+    assert base + gen1 == total
+    # gen1 holds only doc_ids >= N_BASE (deleted pages excluded)
+    assert docs.filter(
+        (F.col("gen") == 1) & (F.col("aid").cast("long") < N_BASE)
+    ).count() == 0
+    assert docs.select("url").distinct().count() == total  # no dup urls
+
+
+def test_rank_identity_across_generations(spark, inc_index):
+    out, _ = inc_index
+    engine = SearchEngine(spark, out)
+    oracle = _oracle(spark, out)
+    for q in make_query_set():
+        exp = oracle.search(q["query_text"], k=q["k"])
+        got = engine.search(q["query_text"], k=q["k"], mode="local")
+        assert _norm(got) == _norm(exp), q["query_text"]
+
+
+def test_wand_bounds_safe_after_avgdl_drift(spark, inc_index):
+    out, _ = inc_index
+    engine = SearchEngine(spark, out)
+    for q in make_query_set():
+        pruned = engine.search(q["query_text"], k=10, mode="local", prune=True)
+        full = engine.search(q["query_text"], k=10, mode="local", prune=False)
+        assert pruned == full, q["query_text"]
+
+
+def test_incremental_noop_when_no_new_pages(spark, inc_index):
+    out, _ = inc_index
+    builder = IndexBuilder(spark, out, n_shards=4, salt_threshold=100)
+    m = builder.build_incremental(
+        pages_df(spark, N_ALL, partitions=4), fingerprint="wave3"
+    )
+    assert m["gen"] == 2
+    assert m.get("docs_out", 0) == 0  # everything already indexed
+
+
+def test_streaming_available_now(spark, tmp_path):
+    """Two page-file drops drained by Trigger.AvailableNow → same ranking
+    as a single batch build over the union."""
+    from baram_spark.streaming.ingest import stream_build
+
+    pages_dir = str(tmp_path / "pages_stream")
+    idx_dir = str(tmp_path / "stream_idx")
+    ck_dir = str(tmp_path / "ck")
+    pages_df(spark, 150, partitions=2).write.mode("append").parquet(pages_dir)
+    stream_build(spark, pages_dir, idx_dir, ck_dir, n_shards=2,
+                 salt_threshold=100)
+    # second drop (new files, overlapping ids 100-149 come as new FILES but
+    # duplicate urls — the anti-join must drop them)
+    pages_df(spark, 250, partitions=2).write.mode("append").parquet(pages_dir)
+    stream_build(spark, pages_dir, idx_dir, ck_dir, n_shards=2,
+                 salt_threshold=100)
+
+    docs = spark.read.parquet(f"{idx_dir}/docs")
+    assert docs.select("url").distinct().count() == docs.count()
+
+    engine = SearchEngine(spark, idx_dir)
+    oracle = _oracle(spark, idx_dir)
+    q = make_query_set()[0]["query_text"]
+    assert _norm(engine.search(q, k=10, mode="local")) == _norm(
+        oracle.search(q, k=10)
+    )

@@ -75,7 +75,7 @@ def _corpus_stats(spark, sf_dir):
     )
 
 
-def _bm25_topk(spark, sf_dir):
+def _bm25_topk(spark, sf_dir, k: int = 10):
     toks = _doc_tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -106,7 +106,7 @@ def _bm25_topk(spark, sf_dir):
         contrib.groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -321,6 +321,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_hybrid(spark, sf_dir):
+        """Q4 hybrid fusion: BM25 top-20 (documents) ⊕ cosine top-20
+        (embeddings, vec_id≡doc_id) → min-max normalize each list,
+        0.3/0.7 weighted mean, top-10 (reference weights CLAUDE.md:377-386)."""
+        from pyspark.sql import Window
+
+        bm25 = _bm25_topk(spark, sf_dir, k=20)
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        knn = (
+            emb.crossJoin(F.broadcast(qvec))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                similarity.cosine_expr(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.transform("qv", lambda x: x.cast("double")),
+                ).alias("kscore"),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(F.desc("kscore"), F.asc("doc_id"))),
+            )
+            .filter(F.col("rank") <= 20)
+            .drop("rank")
+        )
+        wb = Window.partitionBy()
+        bn = bm25.withColumn(
+            "nb",
+            F.when(
+                F.max("score").over(wb) > F.min("score").over(wb),
+                (F.col("score") - F.min("score").over(wb))
+                / (F.max("score").over(wb) - F.min("score").over(wb)),
+            ).otherwise(F.lit(1.0)),
+        ).select("doc_id", "nb")
+        kn = knn.withColumn(
+            "nk",
+            F.when(
+                F.max("kscore").over(wb) > F.min("kscore").over(wb),
+                (F.col("kscore") - F.min("kscore").over(wb))
+                / (F.max("kscore").over(wb) - F.min("kscore").over(wb)),
+            ).otherwise(F.lit(1.0)),
+        ).select("doc_id", "nk")
+        fused = (
+            bn.join(kn, "doc_id", "full")
+            .select(
+                "doc_id",
+                F.round(
+                    0.3 * F.coalesce("nb", F.lit(0.0))
+                    + 0.7 * F.coalesce("nk", F.lit(0.0)),
+                    6,
+                ).alias("hybrid_score"),
+            )
+            .orderBy(F.desc("hybrid_score"), F.asc("doc_id"))
+            .limit(10)
+        )
+        return fused
+
     def q_tpch_q3(spark, sf_dir):
         cust = _t(spark, sf_dir, "customer").filter(
             F.col("c_mktsegment") == "BUILDING"
@@ -362,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_jaccard,
         "simhash": q_simhash,
         "knn_cosine": q_knn,
+        "hybrid_topk": q_hybrid,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "fingerprint": q_fingerprint,
@@ -508,6 +566,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5""",
+        "hybrid_topk": f"""WITH bm25_all AS ({_BM25_ORACLE.replace("LIMIT 10", "LIMIT 20").replace("tf.doc_id,", "tf.doc_id AS doc_id,")}),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            knn_all AS (
+              SELECT vec_id AS doc_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])) AS kscore
+              FROM embeddings CROSS JOIN q
+              ORDER BY kscore DESC, doc_id ASC LIMIT 20),
+            bn AS (
+              SELECT doc_id,
+                     CASE WHEN max(score) OVER () > min(score) OVER ()
+                          THEN (score - min(score) OVER ())
+                               / (max(score) OVER () - min(score) OVER ())
+                          ELSE 1.0 END AS nb
+              FROM bm25_all),
+            kn AS (
+              SELECT doc_id,
+                     CASE WHEN max(kscore) OVER () > min(kscore) OVER ()
+                          THEN (kscore - min(kscore) OVER ())
+                               / (max(kscore) OVER () - min(kscore) OVER ())
+                          ELSE 1.0 END AS nk
+              FROM knn_all)
+            SELECT COALESCE(bn.doc_id, kn.doc_id) AS doc_id,
+                   ROUND(0.3 * COALESCE(nb, 0.0) + 0.7 * COALESCE(nk, 0.0), 6)
+                     AS hybrid_score
+            FROM bn FULL OUTER JOIN kn ON bn.doc_id = kn.doc_id
+            ORDER BY hybrid_score DESC, doc_id ASC LIMIT 10""",
         "knn_cosine": """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
               SELECT vec_id,

@@ -1,0 +1,91 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files baram_spark.zip -m baram_spark  <cmd> [args]
+    # or locally:  python -m baram_spark <cmd> [args]
+
+Commands (mirroring the reference CLI, ``/root/reference/src/main.rs``):
+
+    index   --pages PATH --out DIR [--shards N] [--salt-threshold N]
+            [--fingerprint F] [--no-resume] [--incremental] [--since TS]
+    search  --index DIR --query TEXT [--k K] [--mode local|distributed]
+            [--min-score X] [--hybrid]
+    bench   (delegates to bench.py defaults)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="baram_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_index = sub.add_parser("index")
+    p_index.add_argument("--pages", required=True)
+    p_index.add_argument("--out", required=True)
+    p_index.add_argument("--shards", type=int, default=8)
+    p_index.add_argument("--salt-threshold", type=int, default=50_000)
+    p_index.add_argument("--fingerprint", default=None)
+    p_index.add_argument("--no-resume", action="store_true")
+    p_index.add_argument("--incremental", action="store_true")
+    p_index.add_argument("--since", default=None)
+
+    p_search = sub.add_parser("search")
+    p_search.add_argument("--index", required=True)
+    p_search.add_argument("--query", required=True)
+    p_search.add_argument("--k", type=int, default=10)
+    p_search.add_argument("--mode", default="local")
+    p_search.add_argument("--min-score", type=float, default=None)
+    p_search.add_argument("--hybrid", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    from baram_spark.session import get_spark
+
+    spark = get_spark(app_name=f"baram-{args.cmd}")
+
+    if args.cmd == "index":
+        from baram_spark.index.builder import IndexBuilder
+
+        pages = spark.read.parquet(args.pages)
+        builder = IndexBuilder(
+            spark, args.out, n_shards=args.shards,
+            salt_threshold=args.salt_threshold,
+        )
+        fp = args.fingerprint or f"cli-{int(time.time())}"
+        if args.incremental:
+            metrics = builder.build_incremental(
+                pages, fp, since=args.since, resume=not args.no_resume
+            )
+        else:
+            metrics = builder.build(pages, fp, resume=not args.no_resume)
+        print(json.dumps(metrics, default=str))
+    elif args.cmd == "search":
+        from baram_spark.query.engine import SearchEngine
+
+        engine = SearchEngine(spark, args.index, preload=(args.mode == "local"))
+        t0 = time.time()
+        hits = engine.search(
+            args.query, k=args.k, min_score=args.min_score, mode=args.mode
+        )
+        if args.hybrid:
+            from baram_spark.query.hybrid import embed_docs, hybrid_search, knn_search
+
+            emb = embed_docs(spark.read.parquet(f"{args.index}/docs"))
+            knn = knn_search(emb, args.query, k=args.k)
+            hits = hybrid_search(hits, knn, k=args.k)
+        print(json.dumps({
+            "query": args.query,
+            "latency_ms": round(1000 * (time.time() - t0), 1),
+            "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
+        }, ensure_ascii=False))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

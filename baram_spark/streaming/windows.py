@@ -1,0 +1,134 @@
+"""Streaming windowed aggregations + custom stateful sessionization.
+
+The trend/window operators of SURVEY §2.6 in their streaming form:
+
+- ``windowed_counts``: tumbling/sliding event-time windows with a watermark
+  for late data — the continuous version of ``trends.daily_counts``.
+- ``sessionize``: custom stateful operator via ``applyInPandasWithState``
+  (the engine's escape hatch for semantics Spark lacks natively): groups a
+  user's events into sessions closed after ``gap`` of event-time silence,
+  emitting one row per closed session.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed counts + value sums with late-data watermark."""
+    # watermarks require TIMESTAMP (with tz); parquet NTZ columns are cast
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col).alias("key"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key", "cnt", "value_sum",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Close a user session after ``gap_minutes`` of processing-time
+    inactivity; emit (user, start, end, n_events, value_sum) per session."""
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_ms, last_ms, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="us")],
+                    "session_end": [pd.Timestamp(last_ms, unit="us")],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+        start_ms = last_ms = None
+        n, vsum = 0, 0.0
+        if state.exists:
+            start_ms, last_ms, n, vsum = state.get
+        for pdf in pdfs:
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000).tolist()  # microseconds
+            if start_ms is None:
+                start_ms = min(ts_ms)
+                last_ms = max(ts_ms)
+            else:
+                start_ms = min(start_ms, min(ts_ms))
+                last_ms = max(last_ms, max(ts_ms))
+            n += len(pdf)
+            vsum += float(pdf["value"].sum())
+        state.update((start_ms, last_ms, n, vsum))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="datetime64[ns]"),
+                "session_end": pd.Series([], dtype="datetime64[ns]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "value_sum": pd.Series([], dtype="float64"),
+            }
+        )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,84 @@
+"""Incremental centroid clustering (G11)."""
+
+import numpy as np
+import pytest
+
+from baram_spark.operators.clustering import cluster_embeddings, cluster_summaries
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """60 vectors in 3 tight clusters + 10 outliers (deterministic)."""
+    rng = np.random.default_rng(7)
+    bases = rng.standard_normal((3, DIM))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for b in range(3):
+        for _ in range(20):
+            v = bases[b] + 0.05 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    for _ in range(10):
+        v = rng.standard_normal(DIM)
+        rows.append((vid, [float(x) for x in v], -1))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_recovers_planted_clusters(spark, clustered_emb):
+    clusters = cluster_embeddings(
+        clustered_emb, dim=DIM, threshold=0.75, min_size=2, n_planes=2
+    )
+    rows = clusters.collect()
+    labels = {
+        r["vec_id"]: r["label"] for r in clustered_emb.collect()
+    }
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(labels[r["doc_id"]])
+    # contract of the bucket-partitioned approximation: clusters may SPLIT
+    # across LSH buckets but must never MIX planted labels, and each planted
+    # label must be (almost) fully recovered across its clusters
+    for members in by_cluster.values():
+        real = [m for m in members if m >= 0]
+        assert len(set(real)) <= 1, f"mixed cluster: {members}"
+    covered = {0: 0, 1: 0, 2: 0}
+    for members in by_cluster.values():
+        for m in members:
+            if m >= 0:
+                covered[m] += 1
+    assert all(v >= 15 for v in covered.values()), covered
+
+
+def test_membership_and_sizes_consistent(spark, clustered_emb):
+    rows = cluster_embeddings(
+        clustered_emb, dim=DIM, threshold=0.75, min_size=2, n_planes=2
+    ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_summaries_ordered_and_deterministic(spark, clustered_emb):
+    clusters = cluster_embeddings(
+        clustered_emb, dim=DIM, threshold=0.75, min_size=2, n_planes=2
+    )
+    summ = cluster_summaries(clusters).collect()
+    sizes = [r["n_docs"] for r in summ]
+    assert sizes == sorted(sizes, reverse=True)
+    again = sorted(
+        (r["cluster_id"], r["doc_id"])
+        for r in cluster_embeddings(
+            clustered_emb, dim=DIM, threshold=0.75, min_size=2, n_planes=2
+        ).collect()
+    )
+    assert again == sorted((r["cluster_id"], r["doc_id"]) for r in clusters.collect())

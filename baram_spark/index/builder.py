@@ -180,19 +180,45 @@ class IndexBuilder:
         avgdl_now = {
             f: (dl / n if n else 0.0) for f, (n, dl) in totals.items()
         }
+        import pyarrow as pa
+
+        from .lineage import write_small_parquet
+
         meta_rows = [
             (g, f, n, dl, p) for (g, f), (n, dl, p) in prior.items()
         ] + [(gen, f, n, dl, avgdl_now[f]) for g, f, n, dl in gen_rows]
-        self.spark.createDataFrame(meta_rows, GEN_META_SCHEMA).coalesce(
-            1
-        ).write.mode("overwrite").parquet(self.gen_meta_path)
+        write_small_parquet(
+            self.gen_meta_path,
+            pa.table(
+                {
+                    "gen": pa.array([r[0] for r in meta_rows], pa.int32()),
+                    "field": [r[1] for r in meta_rows],
+                    "n_docs": pa.array([r[2] for r in meta_rows], pa.int64()),
+                    "dl_sum": pa.array([r[3] for r in meta_rows], pa.int64()),
+                    "avgdl_pack": pa.array(
+                        [float(r[4]) for r in meta_rows], pa.float64()
+                    ),
+                }
+            ),
+            overwrite=True,
+        )
         stats_rows = [
             (f, totals[f][0], avgdl_now[f]) for f in ("title", "content")
             if f in totals
         ]
-        self.spark.createDataFrame(
-            stats_rows, "field string, n_docs long, avgdl double"
-        ).coalesce(1).write.mode("overwrite").parquet(self.corpus_stats_path)
+        write_small_parquet(
+            self.corpus_stats_path,
+            pa.table(
+                {
+                    "field": [r[0] for r in stats_rows],
+                    "n_docs": pa.array([r[1] for r in stats_rows], pa.int64()),
+                    "avgdl": pa.array(
+                        [float(r[2]) for r in stats_rows], pa.float64()
+                    ),
+                }
+            ),
+            overwrite=True,
+        )
 
     def _salt_plan(self, gen: int) -> dict:
         """Salt planning needs only the Zipf head — a 5% sample finds it at

@@ -8,21 +8,56 @@ postings shard) appends one row; a re-run skips work whose
 reference's filename-ID checkpoint prefilter (``src/commands/index.rs:160-194``)
 expressed as a table lookup instead of a JSON blob.
 
-Appends are parquet-append jobs → atomic at file granularity the same way
-Baram's tmp+rename is (``checkpoint.rs:234-245``).
+Appends are written with pyarrow directly (one unique file per append — the
+atomic tmp+rename pattern of ``checkpoint.rs:234-245``) so a ledger write
+costs microseconds instead of a Spark job submission; Spark reads the same
+directory back for resume checks and metrics queries.
 """
 
 from __future__ import annotations
 
+import os
 import time
-from datetime import datetime, timezone
+import uuid
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark.sql import SparkSession, functions as F
 
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, fingerprint string, rows_in long, "
-    "rows_out long, seconds double, rows_per_sec double, completed_at timestamp"
+    "rows_out long, seconds double, rows_per_sec double, completed_at timestamp_ntz"
 )
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("stage", pa.string()),
+        ("partition_id", pa.int32()),
+        ("fingerprint", pa.string()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("seconds", pa.float64()),
+        ("rows_per_sec", pa.float64()),
+        ("completed_at", pa.timestamp("us")),
+    ]
+)
+
+
+def write_small_parquet(path: str, table: pa.Table, overwrite: bool = False):
+    """Driver-side parquet write for tiny tables (no Spark job): atomic via
+    tmp + rename; ``overwrite`` clears the directory first."""
+    local = path.removeprefix("file:")
+    if overwrite and os.path.exists(local):
+        import shutil
+
+        shutil.rmtree(local)
+    os.makedirs(local, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(local, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(local, name))
 
 
 class LineageLedger:
@@ -31,15 +66,12 @@ class LineageLedger:
         self.path = path
 
     def read(self):
-        import os
-
         local = self.path.removeprefix("file:")
-        if not os.path.exists(local):
+        if not os.path.exists(local) or not any(
+            f.endswith(".parquet") for f in os.listdir(local)
+        ):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        try:
-            return self.spark.read.parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.parquet(self.path)
 
     def completed(self, fingerprint: str) -> set[tuple[str, int]]:
         """{(stage, partition_id)} already done for this input fingerprint."""
@@ -51,40 +83,37 @@ class LineageLedger:
         )
         return {(r["stage"], r["partition_id"]) for r in rows}
 
-    def record(
-        self,
-        stage: str,
-        partition_id: int,
-        fingerprint: str,
-        rows_in: int,
-        rows_out: int,
-        seconds: float,
-    ) -> None:
-        rate = rows_out / seconds if seconds > 0 else 0.0
-        row = [
-            (
-                stage, partition_id, fingerprint, rows_in, rows_out,
-                float(seconds), float(rate), datetime.now(timezone.utc),
-            )
-        ]
-        self.spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
-            self.path
+    def record(self, stage: str, partition_id: int, fingerprint: str,
+               rows_in: int, rows_out: int, seconds: float) -> None:
+        self.record_many(
+            [(stage, partition_id, fingerprint, rows_in, rows_out, seconds)]
         )
 
     def record_many(self, rows: list[tuple]) -> None:
         """Batch append: [(stage, partition_id, fingerprint, rows_in,
-        rows_out, seconds), ...] — one parquet append job for N entries."""
-        now = datetime.now(timezone.utc)
-        data = [
-            (
-                stage, pid, fp, rin, rout, float(sec),
-                float(rout / sec) if sec > 0 else 0.0, now,
-            )
-            for stage, pid, fp, rin, rout, sec in rows
-        ]
-        self.spark.createDataFrame(data, LINEAGE_SCHEMA).write.mode(
-            "append"
-        ).parquet(self.path)
+        rows_out, seconds), ...] — one pyarrow file, no Spark job."""
+        now = datetime.utcnow()
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "stage": list(cols[0]),
+                "partition_id": pa.array(cols[1], pa.int32()),
+                "fingerprint": list(cols[2]),
+                "rows_in": pa.array(cols[3], pa.int64()),
+                "rows_out": pa.array(cols[4], pa.int64()),
+                "seconds": pa.array([float(s) for s in cols[5]], pa.float64()),
+                "rows_per_sec": pa.array(
+                    [
+                        float(r / s) if s > 0 else 0.0
+                        for r, s in zip(cols[4], cols[5])
+                    ],
+                    pa.float64(),
+                ),
+                "completed_at": pa.array([now] * len(rows), pa.timestamp("us")),
+            },
+            schema=_ARROW_SCHEMA,
+        )
+        write_small_parquet(self.path, table)
 
     def metrics(self) -> list[dict]:
         return [r.asDict() for r in self.read().orderBy("completed_at").collect()]

@@ -106,7 +106,7 @@ class SearchEngine:
         return weights
 
     def _postings_rows(self, terms: list[str]) -> DataFrame:
-        cols = ["shard", "field", "term", "postings", "skips", "blockmax"]
+        cols = ["shard", "field", "term", "df", "postings", "skips", "blockmax"]
         sel = self._postings.filter(
             F.col("term").isin(terms) & F.col("field").isin(list(FIELDS))
         )
@@ -128,45 +128,65 @@ class SearchEngine:
         terms = sorted(set(analyze_search(query_text)))
         if not terms:
             return []
-        weights = self._weights(terms)
-        if not weights:
-            return []
         avgdls = {f: self.corpus_stats[f][1] for f in self.corpus_stats}
         scorer = score_blockmax if prune else score_exhaustive
 
         if mode == "local":
-            by_shard: dict[int, list] = {}
+            # ONE job (or zero when preloaded): global df is the sum of the
+            # per-row df over all shards+generations of a term — derived
+            # from the same collected rows that carry the blobs, so no
+            # separate term_stats lookup is needed.
             if self._mem_postings is not None:
-                for (field, term), w in weights.items():
+                rows = [
+                    (field, term, None, blob, skips, bmax, gen, shard)
+                    for field in FIELDS
+                    for term in terms
                     for shard, blob, skips, bmax, gen in self._mem_postings.get(
                         (field, term), ()
-                    ):
-                        by_shard.setdefault(shard, []).append(
-                            TermPostings(
-                                field, term, w, blob, skips, bmax,
-                                avgdls[field],
-                                self._bound_factor.get((gen, field), 1.0),
-                            )
-                        )
-            else:
-                for r in self._postings_rows(terms).collect():
-                    key = (r["field"], r["term"])
-                    if key not in weights:
-                        continue
-                    by_shard.setdefault(r["shard"], []).append(
-                        TermPostings(
-                            r["field"], r["term"], weights[key],
-                            bytes(r["postings"]), bytes(r["skips"]),
-                            bytes(r["blockmax"]), avgdls[r["field"]],
-                            self._bound_factor.get(
-                                (int(r["gen"]), r["field"]), 1.0
-                            ),
-                        )
                     )
+                ]
+                df_by_key = {
+                    (f, t): self._mem_df.get((f, t), 0)
+                    for f in FIELDS
+                    for t in terms
+                }
+            else:
+                collected = self._postings_rows(terms).collect()
+                rows = [
+                    (r["field"], r["term"], int(r["df"]), bytes(r["postings"]),
+                     bytes(r["skips"]), bytes(r["blockmax"]), int(r["gen"]),
+                     int(r["shard"]))
+                    for r in collected
+                ]
+                df_by_key: dict = {}
+                for f, t, d, *_ in rows:
+                    df_by_key[(f, t)] = df_by_key.get((f, t), 0) + d
+            weights = {}
+            for (f, t), d in df_by_key.items():
+                n_docs, _ = self.corpus_stats.get(f, (0, 0.0))
+                if n_docs and d:
+                    weights[(f, t)] = FIELD_BOOSTS[f] * idf(n_docs, d)
+            if not weights:
+                return []
+            by_shard: dict[int, list] = {}
+            for field, term, _, blob, skips, bmax, gen, shard in rows:
+                w = weights.get((field, term))
+                if w is None:
+                    continue
+                by_shard.setdefault(shard, []).append(
+                    TermPostings(
+                        field, term, w, blob, skips, bmax, avgdls[field],
+                        self._bound_factor.get((gen, field), 1.0),
+                    )
+                )
             partials = []
             for shard_terms in by_shard.values():
                 partials.extend(scorer(shard_terms, k, min_score))
             return _merge_topk(partials, k)
+
+        weights = self._weights(terms)
+        if not weights:
+            return []
 
         # distributed: per-shard scoring in executors, k-merge on driver
         out_schema = "doc_id long, score double"

@@ -31,6 +31,7 @@ index settings); both analyzers are pure functions usable inside Arrow UDFs.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pandas as pd
 
@@ -92,6 +93,7 @@ _HANJA_RE = re.compile("[" + "".join(HANJA_READINGS) + "]")
 _HANJA_RUN_RE = re.compile(r"[一-鿿]+")
 
 
+@lru_cache(maxsize=262144)
 def _strip_particle(run: str) -> tuple[str, str | None]:
     """Split one trailing particle off a Hangul run (longest match)."""
     for p in PARTICLES:
@@ -100,7 +102,16 @@ def _strip_particle(run: str) -> tuple[str, str | None]:
     return run, None
 
 
+@lru_cache(maxsize=262144)
+def _segment_hangul_cached(run: str) -> tuple[str, ...]:
+    return tuple(_segment_hangul_impl(run))
+
+
 def _segment_hangul(run: str) -> list[str]:
+    return list(_segment_hangul_cached(run))
+
+
+def _segment_hangul_impl(run: str) -> list[str]:
     """Greedy longest-match over the pinned lexicon; mixed decompounding."""
     stem, particle = _strip_particle(run)
     tokens: list[str] = []

@@ -21,8 +21,13 @@ def get_spark(
 ) -> SparkSession:
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cores}]"
+    # local[N] defaults to task maxFailures=1 (fail-fast); give transient
+    # task failures the same retry budget a cluster would: local[N, 4]
+    if master.startswith("local[") and "," not in master:
+        master = master[:-1] + ",4]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cores
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else cores
+        n = inner.split(",")[0].strip()
         # ~2 waves per stage: stragglers (Zipf-skewed pack groups) cost a
         # fraction of a wave instead of gating a single-wave stage; AQE
         # coalesces the small ones back together.

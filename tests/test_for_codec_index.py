@@ -1,0 +1,54 @@
+"""End-to-end index build + rank identity with the FOR (bit-packed) codec —
+keeps the PForDelta-style alternative path exercised, not just unit-tested."""
+
+import pytest
+
+from baram_spark.corpus import make_query_set, pages_df
+from baram_spark.index.builder import IndexBuilder
+from baram_spark.index.codec import CODEC_FOR
+from baram_spark.query.bm25 import BruteForceIndex
+from baram_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def for_index(spark, work_dir):
+    out = f"{work_dir}/for_idx"
+    builder = IndexBuilder(spark, out, n_shards=2, salt_threshold=100,
+                           codec=CODEC_FOR)
+    builder.build(pages_df(spark, 250, partitions=4), fingerprint="for-250")
+    return out
+
+
+def test_for_codec_rank_identity(spark, for_index):
+    docs = (
+        spark.read.parquet(f"{for_index}/docs")
+        .select("doc_id", "title", "text")
+        .toPandas()
+    )
+    oracle = BruteForceIndex.build(
+        [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()]
+    )
+    engine = SearchEngine(spark, for_index)
+    for q in make_query_set()[:5]:
+        exp = [(d, round(s, 9)) for d, s in oracle.search(q["query_text"], k=10)]
+        got = [
+            (d, round(s, 9))
+            for d, s in engine.search(q["query_text"], k=10, mode="local")
+        ]
+        assert got == exp, q["query_text"]
+
+
+def test_for_beats_varint_on_long_lists():
+    """FOR bit-packing wins on long posting lists (its per-block headers
+    dominate short ones — varint stays the default for mixed corpora)."""
+    import numpy as np
+
+    from baram_spark.index.codec import CODEC_VARINT, encode_postings
+
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(5_000_000, size=50_000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 4, size=50_000).astype(np.int64)
+    dls = rng.integers(50, 200, size=50_000).astype(np.int64)
+    b_var, _, _ = encode_postings(ids, tfs, dls, avgdl=100.0, codec=CODEC_VARINT)
+    b_for, _, _ = encode_postings(ids, tfs, dls, avgdl=100.0, codec=CODEC_FOR)
+    assert len(b_for) < len(b_var)

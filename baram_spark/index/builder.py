@@ -103,29 +103,74 @@ class IndexBuilder:
         return os.path.exists(path.removeprefix("file:"))
 
     # -- stage helpers ----------------------------------------------------
-    def _stage_extract(self, pages, gen, stage, fingerprint, done, metrics):
-        if (stage, 0) in done:
-            metrics["resumed_stages"].append(stage)
+    def _stage_extract_tokenize(self, pages, gen, stage_docs, stage_terms,
+                                fingerprint, done, metrics):
+        """Fused extract+tokenize: ONE pass over the pages html.
+
+        The extraction output is persisted (memory, spill to disk) and two
+        jobs consume it concurrently — the docs-table write and the
+        tokenize→doc_terms write — so the expensive HTML parse happens once
+        and the docs parquet round-trip between the stages disappears.
+        """
+        docs_done = (stage_docs, 0) in done
+        terms_done = (stage_terms, 0) in done
+        if docs_done:
+            metrics["resumed_stages"].append(stage_docs)
+        if terms_done:
+            metrics["resumed_stages"].append(stage_terms)
+        if docs_done and terms_done:
             return
-        obs = Observation(stage)
-        with StageTimer() as t:
-            (
-                extract_docs(pages)
-                .observe(obs, F.count(F.lit(1)).alias("rows"))
-                .write.mode("overwrite")
-                .parquet(f"{self.docs_path}/gen={gen}")
+        if docs_done and not terms_done:
+            # docs already on disk: tokenize from parquet (resume path)
+            self._stage_tokenize_from(
+                self.spark.read.parquet(f"{self.docs_path}/gen={gen}"),
+                gen, stage_terms, fingerprint, metrics,
             )
-            n_out = int(obs.get["rows"])
-        self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
+            return
+
+        from pyspark import StorageLevel
+
+        extracted = extract_docs(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        obs_docs = Observation(stage_docs)
+        try:
+            with StageTimer() as t:
+                errs: list = []
+
+                def write_docs():
+                    try:
+                        (
+                            extracted.observe(
+                                obs_docs, F.count(F.lit(1)).alias("rows")
+                            )
+                            .write.mode("overwrite")
+                            .parquet(f"{self.docs_path}/gen={gen}")
+                        )
+                    except Exception as e:  # surfaced below
+                        errs.append(e)
+
+                def write_terms():
+                    try:
+                        if not terms_done:
+                            self._stage_tokenize_from(
+                                extracted, gen, stage_terms, fingerprint,
+                                metrics,
+                            )
+                    except Exception as e:
+                        errs.append(e)
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    list(pool.map(lambda f: f(), [write_docs, write_terms]))
+                if errs:
+                    raise errs[0]
+                n_out = int(obs_docs.get["rows"])
+        finally:
+            extracted.unpersist()
+        self.ledger.record(stage_docs, 0, fingerprint, 0, n_out, t.seconds)
         metrics["docs_per_sec"] = n_out / t.seconds if t.seconds else 0.0
         metrics["extract_seconds"] = t.seconds
         metrics["docs_out"] = n_out
 
-    def _stage_tokenize(self, gen, stage, fingerprint, done, metrics):
-        if (stage, 0) in done:
-            metrics["resumed_stages"].append(stage)
-            return
-        docs = self.spark.read.parquet(f"{self.docs_path}/gen={gen}")
+    def _stage_tokenize_from(self, docs, gen, stage, fingerprint, metrics):
         # per-field corpus stats ride along as write observations on the
         # `first` flag — no separate pass over the much larger doc_terms.
         obs = Observation(f"doc_terms_{gen}")
@@ -339,8 +384,9 @@ class IndexBuilder:
         done = self.ledger.completed(fingerprint) if resume else set()
         metrics: dict = {"fingerprint": fingerprint, "gen": 0,
                          "resumed_stages": []}
-        self._stage_extract(pages, 0, "docs", fingerprint, done, metrics)
-        self._stage_tokenize(0, "doc_terms", fingerprint, done, metrics)
+        self._stage_extract_tokenize(
+            pages, 0, "docs", "doc_terms", fingerprint, done, metrics
+        )
         self._stage_postings(0, "postings", fingerprint, done, metrics)
         self._stage_term_stats("term_stats", fingerprint, done, metrics)
         return metrics
@@ -371,7 +417,10 @@ class IndexBuilder:
             known = self.spark.read.parquet(self.docs_path).select("url")
             pages = pages.join(known, "url", "left_anti")
         stage = lambda name: f"{name}.g{gen}"
-        self._stage_extract(pages, gen, stage("docs"), fingerprint, done, metrics)
+        self._stage_extract_tokenize(
+            pages, gen, stage("docs"), stage("doc_terms"), fingerprint, done,
+            metrics,
+        )
         if metrics.get("docs_out") == 0 or not self._exists(
             f"{self.docs_path}/gen={gen}"
         ):
@@ -385,7 +434,6 @@ class IndexBuilder:
             )
             metrics["postings_built"] = 0
             return metrics
-        self._stage_tokenize(gen, stage("doc_terms"), fingerprint, done, metrics)
         self._stage_postings(gen, stage("postings"), fingerprint, done, metrics)
         self._stage_term_stats(stage("term_stats"), fingerprint, done, metrics)
         return metrics

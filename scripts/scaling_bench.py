@@ -31,7 +31,7 @@ import sys
 import tempfile
 
 N_SMALL = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
-N_BIG = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
+N_BIG = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
 REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -152,12 +152,19 @@ def main() -> None:
                     )
 
         dn = N_BIG - N_SMALL
+        # marginal rate per rep (big and small walls from the SAME session
+        # share state), then the best rep per core count — min-of-difference
+        # across reps would mix sessions and can even go negative under the
+        # host's load swings.
+        def best_marginal(walls: list) -> float:
+            return max(dn / max(b - s, 1e-9) for s, b in walls)
+
+        r8 = best_marginal(results[8])
+        r32 = best_marginal(results[32])
         t8s = min(w[0] for w in results[8])
         t8b = min(w[1] for w in results[8])
         t32s = min(w[0] for w in results[32])
         t32b = min(w[1] for w in results[32])
-        r8 = dn / max(t8b - t8s, 1e-9)
-        r32 = dn / max(t32b - t32s, 1e-9)
         efficiency = (r32 / r8) / 4.0
         hw_eff = (r32 / r8) / hw["hardware_max_speedup_8_to_32"]
         print(json.dumps({

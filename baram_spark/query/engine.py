@@ -227,8 +227,12 @@ class SearchEngine:
     # ------------------------------------------------------------------
     def search_df(self, query_text: str, k: int = DEFAULT_K,
                   min_score: float | None = None,
-                  category: str | None = None) -> DataFrame:
-        """Search + doc projection as a DataFrame (id, score, title, url...)."""
+                  category: str | None = None,
+                  include_highlights: bool = True) -> DataFrame:
+        """Search + doc projection (Q6): rank, score, title, url, category,
+        publisher, published_at, 500-char content, and (Q5) ``highlights``
+        — the reference SearchResult shape (src/embedding/mod.rs:88-116,
+        _source projection 608-610, truncation 855-869)."""
         hits = self.search(query_text, k=k, min_score=min_score)
         hits_df = self.spark.createDataFrame(
             [(d, s, r) for r, (d, s) in enumerate(hits, 1)],
@@ -237,7 +241,7 @@ class SearchEngine:
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
         out = docs.join(F.broadcast(hits_df), "doc_id").select(
             "rank", "doc_id", "score", "title", "url", "category",
-            "publisher", "published_at",
+            "publisher", "published_at", "text",
             F.expr(
                 "case when length(text) > 500 then concat(substring(text,1,497),'...') "
                 "else text end"
@@ -245,6 +249,26 @@ class SearchEngine:
         )
         if category:
             out = out.filter(F.col("category") == category)
+        if include_highlights:
+            from .hybrid import highlight
+
+            def add_highlights(iterator):
+                for pdf in iterator:
+                    pdf = pdf.copy()
+                    pdf["highlights"] = [
+                        highlight(t or "", query_text) for t in pdf["text"]
+                    ]
+                    yield pdf.drop(columns=["text"])
+
+            schema = (
+                "rank int, doc_id long, score double, title string, "
+                "url string, category string, publisher string, "
+                "published_at timestamp, content string, "
+                "highlights array<string>"
+            )
+            out = out.mapInPandas(add_highlights, schema=schema)
+        else:
+            out = out.drop("text")
         return out.orderBy("rank")
 
 

@@ -166,3 +166,20 @@ def test_lineage_metrics_recorded(spark, index_dir):
     assert {"docs", "doc_terms", "term_stats", "postings"} <= stages
     docs_row = [r for r in rows if r["stage"] == "docs"][0]
     assert docs_row["rows_out"] > 0 and docs_row["rows_per_sec"] > 0
+
+
+def test_search_df_projection_and_highlights(spark, index_dir):
+    # fresh engine: the partial-resume test above rewrote shard files, so
+    # the module-scoped engine's cached file listing is stale by design
+    fresh = SearchEngine(spark, index_dir)
+    q = make_query_set()[0]["query_text"]
+    rows = fresh.search_df(q, k=5).collect()
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert len(r["content"]) <= 500
+        assert r["title"] is not None and r["url"].startswith("https://")
+        # Q5: matched terms are marked in at least one top hit
+    assert any(
+        any("<mark>" in h for h in (r["highlights"] or [])) for r in rows
+    )

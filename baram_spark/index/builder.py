@@ -400,15 +400,20 @@ class IndexBuilder:
         dedup/checkpoint tier. Re-running with the same fingerprint resumes
         at per-shard granularity like the base build.
         """
-        gens = self.generations()
-        gen = (max(gens) + 1) if gens else 0
-        # resume within the same fingerprint keeps the same gen number
-        prior = [
-            r for r in (self.ledger.completed(fingerprint) if resume else set())
-        ]
-        if prior and gens:
-            gen = max(gens)
         done = self.ledger.completed(fingerprint) if resume else set()
+        # resume within the same fingerprint keeps ITS generation number
+        # (recovered from the ledger stage names — other fingerprints may
+        # have appended further generations in between)
+        prior_gens = [
+            int(stage.rsplit(".g", 1)[1])
+            for stage, _ in done
+            if ".g" in stage
+        ]
+        if prior_gens:
+            gen = max(prior_gens)
+        else:
+            gens = self.generations()
+            gen = (max(gens) + 1) if gens else 0
         metrics: dict = {"fingerprint": fingerprint, "gen": gen,
                          "resumed_stages": []}
         if since is not None:

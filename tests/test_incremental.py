@@ -110,3 +110,19 @@ def test_streaming_available_now(spark, tmp_path):
     assert _norm(engine.search(q, k=10, mode="local")) == _norm(
         oracle.search(q, k=10)
     )
+
+
+def test_interrupted_wave_resumes_its_own_gen(spark, tmp_path):
+    """An interrupted incremental wave must resume ITS generation number
+    even if later waves (other fingerprints) appended more generations."""
+    out = str(tmp_path / "genfix")
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    b.build(pages_df(spark, 100, partitions=2), fingerprint="g0")
+    m1 = b.build_incremental(pages_df(spark, 160, partitions=2), fingerprint="w1")
+    assert m1["gen"] == 1
+    m2 = b.build_incremental(pages_df(spark, 220, partitions=2), fingerprint="w2")
+    assert m2["gen"] == 2
+    # re-running wave1 (fully complete) must resolve to gen 1, not gen 3
+    m1b = b.build_incremental(pages_df(spark, 160, partitions=2), fingerprint="w1")
+    assert m1b["gen"] == 1
+    assert m1b.get("postings_built", 0) == 0  # nothing rebuilt

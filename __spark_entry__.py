@@ -502,7 +502,8 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.5 END, 6) AS normalized
             FROM series WINDOW w AS (PARTITION BY key)""",
         "top_trending": f"""WITH {_SERIES},
-            totals AS (SELECT key, sum(cnt) AS total FROM series GROUP BY key)
+            totals AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS total
+                       FROM series GROUP BY key)
             SELECT CAST(row_number() OVER (ORDER BY total DESC, key ASC) AS INT) AS rank,
                    key, total
             FROM totals ORDER BY rank LIMIT 3""",

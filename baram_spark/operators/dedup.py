@@ -57,12 +57,16 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("toks"),
     )
-    # join consecutive n tokens: transform over index range
+    # join consecutive n tokens: transform over index range. Docs shorter
+    # than n tokens yield an empty shingle set (sequence() would otherwise
+    # step backwards when start > stop and slice() would throw).
     sh = toks.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, greatest(size(toks)-{n}, -1)), "
-            f"i -> concat_ws(' ', slice(toks, i+1, {n})))"
+            f"case when size(toks) >= {n} then "
+            f"transform(sequence(1, size(toks)-{n}+1), "
+            f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+            f"else array() end"
         ).alias("shingles"),
     )
     return (

@@ -105,7 +105,6 @@ _ERROR_SELECTORS = (
 )
 _DELETED_CONTENT_PROBES = ("#dic_area", ".article_body", ".news_end", "article")
 
-ARTICLE_ID_RE = re.compile(r"/(?:mnews/)?article/(\d{3})/(\d{10,})")
 
 # precompiled Selector objects (compile once per worker process)
 _SEL_CACHE: dict[str, Selector] = {}
@@ -151,9 +150,17 @@ def decode_bytes(raw: bytes) -> str:
 
 
 def extract_ids(url: str) -> tuple[str, str] | None:
-    """(oid, aid) from a news article url (url.rs:36-38)."""
-    m = ARTICLE_ID_RE.search(url)
-    return (m.group(1), m.group(2)) if m else None
+    """(oid, aid) from a news article url (url.rs:36-38).
+
+    Delegates to :func:`baram_spark.sources.urls.extract_ids`, which accepts
+    both the path format ``/(mnews/)?article/{oid}/{aid}`` and the legacy
+    query format ``oid=...&aid=...`` — the reference's url.rs matches both,
+    so the indexing path must too (legacy-URL pages would otherwise be
+    silently dropped).
+    """
+    from baram_spark.sources.urls import extract_ids as _extract_ids
+
+    return _extract_ids(url)
 
 
 def detect_format(doc: Document) -> str:
@@ -353,8 +360,24 @@ _EXTRACT_COLUMNS = [
 
 
 def doc_id_from_ids(oid: str, aid: str) -> int:
-    """Dense numeric doc_id from (oid, aid): oid*10^10 + aid fits in int64."""
-    return int(oid) * 10_000_000_000 + int(aid)
+    """Dense numeric doc_id from (oid, aid): oid*10^10 + aid fits in int64.
+
+    The packed form only works for aids of ≤10 digits (packed max is
+    999*10^10 + 9999999999 < 10^13). The id regexes accept ``\\d{10,}``
+    (same as the reference), so an 11+-digit aid would silently collide
+    with a different (oid, aid) pair. Those fall back to a deterministic
+    64-bit hash of the canonical pair, offset above the packed range so the
+    two id spaces can never overlap.
+    """
+    if len(aid) <= 10:
+        return int(oid) * 10_000_000_000 + int(aid)
+    digest = hashlib.blake2b(
+        f"{oid}/{aid}".encode("utf-8"), digest_size=8
+    ).digest()
+    # 10^13 + 49-bit hash stays within int64 and above every packed id
+    return 10_000_000_000_000 + (
+        int.from_bytes(digest, "big") & ((1 << 49) - 1)
+    )
 
 
 def extract_batch(html: pd.Series, url: pd.Series) -> pd.DataFrame:

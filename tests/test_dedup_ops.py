@@ -1,0 +1,75 @@
+"""Unit tests for dedup operators + id handling edge cases (ADVICE round 1)."""
+
+from baram_spark.operators import dedup
+from baram_spark.textproc.extract import doc_id_from_ids, extract_ids
+
+
+def test_shingles_short_docs_no_crash(spark):
+    # docs shorter than n must yield zero shingles, not crash the job
+    # (sequence() steps backwards when size(toks)-n < 0 and slice() throws)
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "two tokens"),
+            (3, "exactly three tokens"),
+            (4, "this one has five tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, n=3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert 1 not in by_doc and 2 not in by_doc
+    assert by_doc[3] == {"exactly three tokens"}
+    assert by_doc[4] == {
+        "this one has",
+        "one has five",
+        "has five tokens",
+    }
+
+
+def test_minhash_lsh_jaccard_pipeline(spark):
+    # near-identical docs must surface as LSH candidates + high jaccard
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark clusters"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, n=2)
+    sig = dedup.minhash_signatures(sh, n_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=8, bands=4)
+    cand = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in cand
+    jac = dedup.ngram_jaccard_pairs(sh, threshold=0.5, candidates=pairs)
+    rows = {(r["id1"], r["id2"]): r["jaccard"] for r in jac.collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 0.5
+    assert all(3 not in p for p in rows)
+
+
+def test_doc_id_packed_and_long_aid_no_collision():
+    # normal 10-digit aid: packed form, reversible range
+    assert doc_id_from_ids("001", "0000000123") == 1 * 10_000_000_000 + 123
+    assert doc_id_from_ids("999", "9999999999") < 10_000_000_000_000
+    # 11+-digit aids: hashed above the packed range, deterministic,
+    # distinct pairs distinct (would collide under naive packing)
+    a = doc_id_from_ids("001", "10000000123456")
+    b = doc_id_from_ids("002", "00000000123456")  # 14 digits, differs
+    assert a >= 10_000_000_000_000 and b >= 10_000_000_000_000
+    assert a != b
+    assert a == doc_id_from_ids("001", "10000000123456")
+    assert a < 2**63
+
+
+def test_extract_ids_accepts_legacy_format():
+    # the indexing-path extract_ids must accept BOTH url shapes (url.rs:36-38)
+    assert extract_ids(
+        "https://n.news.naver.com/mnews/article/001/0001234567"
+    ) == ("001", "0001234567")
+    assert extract_ids(
+        "https://news.naver.com/main/read.naver?oid=001&aid=0001234567"
+    ) == ("001", "0001234567")
+    assert extract_ids("https://example.com/nothing") is None

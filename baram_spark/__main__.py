@@ -8,7 +8,8 @@ Commands (mirroring the reference CLI, ``/root/reference/src/main.rs``):
     index   --pages PATH --out DIR [--shards N] [--salt-threshold N]
             [--fingerprint F] [--no-resume] [--incremental] [--since TS]
     search  --index DIR --query TEXT [--k K] [--mode local|distributed]
-            [--min-score X] [--hybrid]
+            [--min-score X] [--hybrid] [--category C]
+            [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD]
     bench   (delegates to bench.py defaults)
 """
 
@@ -41,6 +42,24 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--mode", default="local")
     p_search.add_argument("--min-score", type=float, default=None)
     p_search.add_argument("--hybrid", action="store_true")
+    def _date(s: str) -> str:
+        from datetime import datetime as _dt
+
+        for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S"):
+            try:
+                _dt.strptime(s, fmt)
+                return s
+            except ValueError:
+                continue
+        raise argparse.ArgumentTypeError(
+            f"{s!r} is not a date (use YYYY-MM-DD[ HH:MM:SS])"
+        )
+
+    # filter context, pre-ranking (SearchConfig: category/date_from/date_to,
+    # src/embedding/mod.rs:135-175)
+    p_search.add_argument("--category", default=None)
+    p_search.add_argument("--date-from", type=_date, default=None)
+    p_search.add_argument("--date-to", type=_date, default=None)
 
     args = parser.parse_args(argv)
 
@@ -70,7 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         engine = SearchEngine(spark, args.index, preload=(args.mode == "local"))
         t0 = time.time()
         hits = engine.search(
-            args.query, k=args.k, min_score=args.min_score, mode=args.mode
+            args.query, k=args.k, min_score=args.min_score, mode=args.mode,
+            category=args.category, date_from=args.date_from,
+            date_to=args.date_to,
         )
         if args.hybrid:
             from baram_spark.query.hybrid import embed_docs, hybrid_search, knn_search

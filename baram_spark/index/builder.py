@@ -377,10 +377,24 @@ class IndexBuilder:
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
         metrics["term_stats_seconds"] = t.seconds
 
+    def _write_index_meta(self) -> None:
+        """Record structural facts queries need (n_shards re-derives the
+        doc→shard mapping for filter-context cogroups)."""
+        import pyarrow as pa
+
+        from .lineage import write_small_parquet
+
+        write_small_parquet(
+            f"{self.out}/index_meta",
+            pa.table({"n_shards": pa.array([self.n_shards], pa.int32())}),
+            overwrite=True,
+        )
+
     # -- public API -------------------------------------------------------
     def build(self, pages: DataFrame, fingerprint: str,
               resume: bool = True) -> dict:
         """Fresh build (generation 0); returns throughput metrics."""
+        self._write_index_meta()
         done = self.ledger.completed(fingerprint) if resume else set()
         metrics: dict = {"fingerprint": fingerprint, "gen": 0,
                          "resumed_stages": []}
@@ -400,6 +414,7 @@ class IndexBuilder:
         dedup/checkpoint tier. Re-running with the same fingerprint resumes
         at per-shard granularity like the base build.
         """
+        self._write_index_meta()
         done = self.ledger.completed(fingerprint) if resume else set()
         # resume within the same fingerprint keeps ITS generation number
         # (recovered from the ledger stage names — other fingerprints may

@@ -69,11 +69,14 @@ class BruteForceIndex:
     tf: dict = field(default_factory=dict)  # field -> {doc_id: Counter(term)}
     dl: dict = field(default_factory=dict)  # field -> {doc_id: int}
     stats: dict = field(default_factory=dict)  # field -> FieldStats
+    meta: dict = field(default_factory=dict)  # doc_id -> (category, published_at)
 
     @classmethod
-    def build(cls, docs) -> "BruteForceIndex":
-        """docs: iterable of (doc_id, title, content)."""
-        idx = cls(doc_ids=[])
+    def build(cls, docs, meta: dict | None = None) -> "BruteForceIndex":
+        """docs: iterable of (doc_id, title, content);
+        ``meta``: optional {doc_id: (category, published_at)} enabling
+        filter-context search (the reference's bool-filter)."""
+        idx = cls(doc_ids=[], meta=meta or {})
         for f in FIELDS:
             idx.tf[f] = {}
             idx.dl[f] = {}
@@ -96,8 +99,27 @@ class BruteForceIndex:
         return idx
 
     def search(self, query_text: str, k: int = DEFAULT_K,
-               min_score: float | None = None):
-        """Top-k (doc_id, score) — float64, tie-break (score desc, id asc)."""
+               min_score: float | None = None,
+               category: str | None = None,
+               date_from=None, date_to=None):
+        """Top-k (doc_id, score) — float64, tie-break (score desc, id asc).
+
+        category/date filters are FILTER CONTEXT (mod.rs:509-531): they
+        restrict the candidate set before top-k; surviving docs keep the
+        same score as an unfiltered search (df/idf stats unchanged)."""
+        allowed = None
+        if category is not None or date_from is not None or date_to is not None:
+            allowed = set()
+            for doc_id, (cat, pub) in self.meta.items():
+                if category is not None and cat != category:
+                    continue
+                # pub != pub catches NaT/NaN (missing dates fail range filters)
+                missing = pub is None or pub != pub
+                if date_from is not None and (missing or pub < date_from):
+                    continue
+                if date_to is not None and (missing or pub > date_to):
+                    continue
+                allowed.add(doc_id)
         terms = sorted(set(analyze_search(query_text)))
         scores: dict = {}
         for fname in FIELDS:
@@ -120,7 +142,8 @@ class BruteForceIndex:
         hits = [
             (doc_id, s)
             for doc_id, s in scores.items()
-            if min_score is None or s >= min_score
+            if (min_score is None or s >= min_score)
+            and (allowed is None or doc_id in allowed)
         ]
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]

@@ -25,6 +25,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import numpy as np
+
 from ..textproc.analyzer import analyze_search
 from .bm25 import DEFAULT_K, FIELD_BOOSTS, FIELDS, idf
 from .wand import TermPostings, score_blockmax, score_exhaustive
@@ -60,6 +62,7 @@ class SearchEngine:
                 self._bound_factor[(int(r["gen"]), r["field"])] = max(
                     1.0, avgdl_now / pack if pack else 1.0
                 )
+        self.n_shards = self._detect_n_shards()
         self._mem_df: dict | None = None
         self._mem_postings: dict | None = None
         if preload:
@@ -76,6 +79,48 @@ class SearchEngine:
                 )
 
     # ------------------------------------------------------------------
+    def _detect_n_shards(self) -> int:
+        """n_shards from index_meta (written by the builder), falling back
+        to listing the postings shard directories."""
+        import os
+
+        meta = f"{self.index_dir}/index_meta"
+        if os.path.exists(meta.removeprefix("file:")):
+            rows = self.spark.read.parquet(meta).collect()
+            if rows:
+                return int(rows[0]["n_shards"])
+        base = f"{self.index_dir}/postings".removeprefix("file:")
+        shards = set()
+        for _root, dirs, _files in os.walk(base):
+            for d in dirs:
+                if d.startswith("shard="):
+                    shards.add(int(d.split("=", 1)[1]))
+        return (max(shards) + 1) if shards else 1
+
+    def _allowed_docs(self, category, date_from, date_to):
+        """Filter-context candidate set (doc_id, shard) — the reference's
+        bool-filter on category / published_at range (mod.rs:509-531).
+
+        The filter is a pushed-down parquet predicate over the docs table;
+        shard is re-derived from doc_id with the same expression the builder
+        used, so the set cogroups 1:1 with the postings shards. Returns None
+        when no filter is active."""
+        if category is None and date_from is None and date_to is None:
+            return None
+        from ..index.build import shard_expr
+
+        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        cond = F.lit(True)
+        if category is not None:
+            cond = cond & (F.col("category") == category)
+        if date_from is not None:
+            cond = cond & (F.col("published_at") >= F.lit(date_from).cast("timestamp"))
+        if date_to is not None:
+            cond = cond & (F.col("published_at") <= F.lit(date_to).cast("timestamp"))
+        return docs.filter(cond).select(
+            "doc_id", shard_expr(self.n_shards).cast("int").alias("shard")
+        )
+
     def _weights(self, terms: list[str]) -> dict:
         """{(field, term): boost * idf} from global df (one pruned scan,
         or the in-memory dictionary when preloaded)."""
@@ -122,16 +167,37 @@ class SearchEngine:
         min_score: float | None = None,
         mode: str = "distributed",
         prune: bool = True,
+        category: str | None = None,
+        date_from=None,
+        date_to=None,
     ) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score); rank-identical to the brute-force oracle."""
+        """Top-k (doc_id, score); rank-identical to the brute-force oracle.
+
+        ``category`` / ``date_from`` / ``date_to`` apply PRE-ranking as
+        filter context (the reference's bool-filter, mod.rs:509-531): the
+        candidate set is restricted before top-k, scores of surviving docs
+        are unchanged. Distributed mode ships the per-shard allowed sets via
+        a shard cogroup (never through the driver); local mode collects them
+        (the low-latency serving path, fine for selective filters)."""
         k = min(k, MAX_K)
         terms = sorted(set(analyze_search(query_text)))
         if not terms:
             return []
         avgdls = {f: self.corpus_stats[f][1] for f in self.corpus_stats}
         scorer = score_blockmax if prune else score_exhaustive
+        allowed_df = self._allowed_docs(category, date_from, date_to)
 
         if mode == "local":
+            allowed_by_shard: dict[int, np.ndarray] | None = None
+            if allowed_df is not None:
+                rows = allowed_df.collect()
+                tmp: dict[int, list] = {}
+                for r in rows:
+                    tmp.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
+                allowed_by_shard = {
+                    s: np.sort(np.asarray(ids, dtype=np.int64))
+                    for s, ids in tmp.items()
+                }
             # ONE job (or zero when preloaded): global df is the sum of the
             # per-row df over all shards+generations of a term — derived
             # from the same collected rows that carry the blobs, so no
@@ -180,8 +246,14 @@ class SearchEngine:
                     )
                 )
             partials = []
-            for shard_terms in by_shard.values():
-                partials.extend(scorer(shard_terms, k, min_score))
+            for shard, shard_terms in by_shard.items():
+                allowed = None
+                if allowed_by_shard is not None:
+                    allowed = allowed_by_shard.get(shard)
+                    if allowed is None:
+                        continue  # no doc in this shard passes the filter
+                partials.extend(scorer(shard_terms, k, min_score,
+                                       allowed=allowed))
             return _merge_topk(partials, k)
 
         weights = self._weights(terms)
@@ -192,8 +264,9 @@ class SearchEngine:
         out_schema = "doc_id long, score double"
 
         bound_factor = dict(self._bound_factor)
+        filtered = allowed_df is not None
 
-        def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
             tps = []
             for row in pdf.itertuples():
                 wkey = (row.field, row.term)
@@ -207,7 +280,7 @@ class SearchEngine:
                         bound_factor.get((int(row.gen), row.field), 1.0),
                     )
                 )
-            hits = scorer(tps, k, min_score)
+            hits = scorer(tps, k, min_score, allowed=allowed)
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([h[0] for h in hits], dtype="int64"),
@@ -215,12 +288,37 @@ class SearchEngine:
                 }
             )
 
-        partial_rows = (
-            self._postings_rows(terms)
-            .groupBy("shard")
-            .applyInPandas(score_shard, schema=out_schema)
-            .collect()
-        )
+        if filtered:
+            # shard-cogroup: each shard's task receives its postings AND its
+            # allowed doc set — no filter set ever crosses the driver.
+            def score_shard_filtered(left: pd.DataFrame,
+                                     right: pd.DataFrame) -> pd.DataFrame:
+                if len(left) == 0 or len(right) == 0:
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")}
+                    )
+                allowed = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
+                return _score_rows(left, allowed)
+
+            partial_rows = (
+                self._postings_rows(terms)
+                .groupBy("shard")
+                .cogroup(allowed_df.groupBy("shard"))
+                .applyInPandas(score_shard_filtered, schema=out_schema)
+                .collect()
+            )
+        else:
+
+            def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                return _score_rows(pdf, None)
+
+            partial_rows = (
+                self._postings_rows(terms)
+                .groupBy("shard")
+                .applyInPandas(score_shard, schema=out_schema)
+                .collect()
+            )
         partials = [(int(r["doc_id"]), float(r["score"])) for r in partial_rows]
         return _merge_topk(partials, k)
 
@@ -228,12 +326,17 @@ class SearchEngine:
     def search_df(self, query_text: str, k: int = DEFAULT_K,
                   min_score: float | None = None,
                   category: str | None = None,
+                  date_from=None, date_to=None,
                   include_highlights: bool = True) -> DataFrame:
         """Search + doc projection (Q6): rank, score, title, url, category,
         publisher, published_at, 500-char content, and (Q5) ``highlights``
         — the reference SearchResult shape (src/embedding/mod.rs:88-116,
-        _source projection 608-610, truncation 855-869)."""
-        hits = self.search(query_text, k=k, min_score=min_score)
+        _source projection 608-610, truncation 855-869). category/date
+        filters apply PRE-ranking (filter context), so a filtered search
+        still returns up to k hits."""
+        hits = self.search(query_text, k=k, min_score=min_score,
+                           category=category, date_from=date_from,
+                           date_to=date_to)
         hits_df = self.spark.createDataFrame(
             [(d, s, r) for r, (d, s) in enumerate(hits, 1)],
             "doc_id long, score double, rank int",
@@ -247,8 +350,6 @@ class SearchEngine:
                 "else text end"
             ).alias("content"),
         )
-        if category:
-            out = out.filter(F.col("category") == category)
         if include_highlights:
             from .hybrid import highlight
 

@@ -104,6 +104,18 @@ def _topk(uniq_ids: np.ndarray, scores: np.ndarray, k: int,
     return [(int(uniq_ids[i]), float(scores[i])) for i in order[:k]]
 
 
+def _filter_allowed(ids: np.ndarray, contribs: np.ndarray,
+                    allowed: np.ndarray):
+    """Keep only ids present in the SORTED ``allowed`` array (filter-context
+    semantics: restricts candidates, never changes scores)."""
+    if allowed.size == 0:
+        return ids[:0], contribs[:0]
+    idx = np.searchsorted(allowed, ids)
+    idx_c = np.minimum(idx, allowed.size - 1)
+    mask = (idx < allowed.size) & (allowed[idx_c] == ids)
+    return ids[mask], contribs[mask]
+
+
 def _accumulate(all_ids: list, all_contribs: list):
     """Concat + per-doc sum, preserving term-major add order (oracle parity)."""
     ids = np.concatenate(all_ids)
@@ -116,14 +128,25 @@ def _accumulate(all_ids: list, all_contribs: list):
     return uniq, scores
 
 
-def score_exhaustive(terms: list, k: int, min_score: float | None = None):
-    """Exact scoring: decode everything, accumulate, top-k."""
+def score_exhaustive(terms: list, k: int, min_score: float | None = None,
+                     allowed: np.ndarray | None = None):
+    """Exact scoring: decode everything, accumulate, top-k.
+
+    ``allowed`` (sorted int64 doc_ids) applies PRE-ranking filter context —
+    the reference's category/date bool-filter (src/embedding/mod.rs:509-531):
+    docs outside the set never enter the top-k race; scores of surviving
+    docs are identical to the unfiltered search (Lucene filter context does
+    not change df/idf statistics)."""
     terms = _canonical_order(terms)
     if not terms:
+        return []
+    if allowed is not None and allowed.size == 0:
         return []
     all_ids, all_contribs = [], []
     for tp in terms:
         ids, contribs = tp.decode_blocks(np.arange(tp.n_blocks))
+        if allowed is not None:
+            ids, contribs = _filter_allowed(ids, contribs, allowed)
         all_ids.append(ids)
         all_contribs.append(contribs)
     uniq, scores = _accumulate(all_ids, all_contribs)
@@ -131,14 +154,21 @@ def score_exhaustive(terms: list, k: int, min_score: float | None = None):
 
 
 def score_blockmax(terms: list, k: int, min_score: float | None = None,
-                   chunk: int = 64):
-    """Block-max segment-pruned exact top-k (see module docstring)."""
+                   chunk: int = 64, allowed: np.ndarray | None = None):
+    """Block-max segment-pruned exact top-k (see module docstring).
+
+    ``allowed`` filters candidates pre-ranking (see score_exhaustive). The
+    block-max bounds stay safe upper bounds under filtering — removing docs
+    can only lower a segment's true best score — so pruning remains exact.
+    """
     terms = _canonical_order(terms)
     if not terms:
         return []
+    if allowed is not None and allowed.size == 0:
+        return []
     total_blocks = sum(t.n_blocks for t in terms)
     if total_blocks <= 8:
-        return score_exhaustive(terms, k, min_score)
+        return score_exhaustive(terms, k, min_score, allowed=allowed)
 
     # --- segment construction -------------------------------------------
     pts = []
@@ -151,7 +181,7 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
     cuts = np.unique(np.concatenate(pts))
     n_seg = cuts.size - 1
     if n_seg <= 0:
-        return score_exhaustive(terms, k, min_score)
+        return score_exhaustive(terms, k, min_score, allowed=allowed)
     seg_lo, seg_hi = cuts[:-1], cuts[1:]  # [lo, hi) doc-id ranges
 
     seg_ub = np.zeros(n_seg, dtype=np.float64)
@@ -199,8 +229,11 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
             j = np.searchsorted(lo_s, ids, side="right") - 1
             jc = np.clip(j, 0, lo_s.size - 1)
             valid = (j >= 0) & (ids < hi_s[jc])
-            all_ids.append(ids[valid])
-            all_contribs.append(contribs[valid])
+            ids, contribs = ids[valid], contribs[valid]
+            if allowed is not None:
+                ids, contribs = _filter_allowed(ids, contribs, allowed)
+            all_ids.append(ids)
+            all_contribs.append(contribs)
         if all_ids:
             uniq, scores = _accumulate(all_ids, all_contribs)
             if uniq.size:

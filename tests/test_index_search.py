@@ -30,11 +30,15 @@ def index_dir(spark, work_dir):
 def oracle(spark, index_dir):
     docs = (
         spark.read.parquet(f"{index_dir}/docs")
-        .select("doc_id", "title", "text")
+        .select("doc_id", "title", "text", "category", "published_at")
         .toPandas()
     )
     return BruteForceIndex.build(
-        [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()]
+        [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()],
+        meta={
+            int(r.doc_id): (r.category, r.published_at)
+            for r in docs.itertuples()
+        },
     )
 
 
@@ -89,6 +93,62 @@ def test_min_score_filter(engine, oracle):
 
 def test_zero_hit_query(engine):
     assert engine.search("zzqqxxnonexistent", k=10) == []
+
+
+def test_category_filter_pre_ranking(engine, oracle):
+    """Filter context (mod.rs:509-531): category restricts candidates BEFORE
+    top-k — rank-identical to the filtered brute-force oracle, scores equal
+    to the unfiltered scores of the surviving docs."""
+    for mode in ("local", "distributed"):
+        for q in make_query_set()[:4]:
+            exp = oracle.search(q["query_text"], k=q["k"], category="sports")
+            got = engine.search(
+                q["query_text"], k=q["k"], mode=mode, category="sports"
+            )
+            assert _norm(got) == _norm(exp), (mode, q["query_text"])
+            if got:
+                # surviving docs keep their unfiltered score (filter context
+                # never rescales) — check against the oracle's full ranking
+                unfiltered = dict(
+                    oracle.search(q["query_text"], k=10**6)
+                )
+                for d, s in _norm(got):
+                    assert round(unfiltered[d], 9) == s
+
+
+def test_date_range_filter_pre_ranking(engine, oracle):
+    from datetime import datetime
+
+    lo, hi = datetime(2024, 12, 5), datetime(2024, 12, 15)
+    for q in make_query_set()[:3]:
+        exp = oracle.search(q["query_text"], k=q["k"], date_from=lo, date_to=hi)
+        got = engine.search(
+            q["query_text"], k=q["k"], mode="local", date_from=lo, date_to=hi
+        )
+        assert _norm(got) == _norm(exp), q["query_text"]
+
+
+def test_combined_category_and_date_filter(engine, oracle):
+    from datetime import datetime
+
+    lo = datetime(2024, 12, 10)
+    q = make_query_set()[0]["query_text"]
+    exp = oracle.search(q, k=20, category="", date_from=lo)
+    got = engine.search(q, k=20, mode="local", category="", date_from=lo)
+    assert _norm(got) == _norm(exp)
+    assert got, "general-category docs after Dec 10 must exist in 600 docs"
+
+
+def test_filtered_search_returns_k_in_category(spark, index_dir):
+    """The round-1 bug: category applied after top-k returned < k rows.
+    Now search_df must return up to k hits all inside the category."""
+    fresh = SearchEngine(spark, index_dir)
+    q = make_query_set()[0]["query_text"]
+    rows = fresh.search_df(q, k=5, category="sports",
+                           include_highlights=False).collect()
+    assert len(rows) == 5
+    assert all(r["category"] == "sports" for r in rows)
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
 
 
 def test_salting_was_exercised(spark, index_dir):

@@ -50,6 +50,10 @@ DOC_TERMS_SCHEMA = (
     "doc_id long, field string, term string, tf int, dl int, first int"
 )
 
+# the three scored fields of the reference's bool-should query
+# (mod.rs:475-501); chunk_text postings exist only when docs carry chunks
+INDEX_FIELDS = ("title", "content", "chunk_text")
+
 POSTINGS_SCHEMA_SPARK = (
     "shard int, field string, term string, salt int, df long, "
     "postings binary, skips binary, blockmax binary"
@@ -86,16 +90,28 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
     tf and dl are computed inside the Arrow batch (map-side combine before
     the shuffle even sees the data). Output is one row per distinct
     (doc, field, term) — the minimal shuffle payload.
+
+    Docs may carry an optional ``chunk_text`` column (the reference's third
+    match field, mod.rs:493-501); it tokenizes as field "chunk_text". Absent
+    column → zero chunk postings, rankings identical to the 2-field index.
     """
+    has_chunks = "chunk_text" in docs.columns
 
     def run(iterator):
         for pdf in iterator:
             rows_doc, rows_field, rows_term = [], [], []
             rows_tf, rows_dl, rows_first = [], [], []
-            for doc_id, title, text in zip(
-                pdf["doc_id"].tolist(), pdf["title"].tolist(), pdf["text"].tolist()
+            chunks = (
+                pdf["chunk_text"].tolist() if has_chunks else [None] * len(pdf)
+            )
+            for doc_id, title, text, chunk in zip(
+                pdf["doc_id"].tolist(), pdf["title"].tolist(),
+                pdf["text"].tolist(), chunks,
             ):
-                for fname, ftext in (("title", title), ("content", text)):
+                for fname, ftext in (
+                    ("title", title), ("content", text),
+                    ("chunk_text", chunk),
+                ):
                     tokens = analyze_index(ftext or "")
                     if not tokens:
                         continue
@@ -121,9 +137,8 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "title", "text").mapInPandas(
-        run, schema=DOC_TERMS_SCHEMA
-    )
+    cols = ["doc_id", "title", "text"] + (["chunk_text"] if has_chunks else [])
+    return docs.select(*cols).mapInPandas(run, schema=DOC_TERMS_SCHEMA)
 
 
 def corpus_stats(doc_terms: DataFrame) -> DataFrame:
@@ -177,11 +192,9 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
     )
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
-    avgdl_per_row = np.where(
-        fields == "title",
-        avgdl_by_field.get("title", 1.0),
-        avgdl_by_field.get("content", 1.0),
-    ).astype(np.float64)
+    avgdl_per_row = np.empty(n, dtype=np.float64)
+    for f in np.unique(fields):
+        avgdl_per_row[fields == f] = avgdl_by_field.get(f, 1.0)
     if codec == CODEC_VARINT:
         blobs, skips_l, bmax_l = encode_many(
             ids, tfs, dls, starts, ends, avgdl_per_row
@@ -191,7 +204,7 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
         for st, en in zip(starts, ends):
             blob, skips, bmax = encode_postings(
                 ids[st:en], tfs[st:en], dls[st:en],
-                avgdl=avgdl_by_field[fields[st]], codec=codec,
+                avgdl=avgdl_by_field.get(fields[st], 1.0), codec=codec,
             )
             blobs.append(blob)
             skips_l.append(skips)
@@ -300,7 +313,7 @@ def _merge_partition(avgdl_by_field: dict, codec: int):
                 ids[order],
                 np.concatenate(tfs_l)[order],
                 np.concatenate(dls_l)[order],
-                avgdl=avgdl_by_field[fields[st]],
+                avgdl=avgdl_by_field.get(fields[st], 1.0),
                 codec=codec,
             )
             out["df"].append(len(ids))

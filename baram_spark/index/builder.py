@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .build import (
     CODEC_VARINT,
+    INDEX_FIELDS,
     build_postings,
     extract_docs,
     plan_salts,
@@ -175,7 +176,7 @@ class IndexBuilder:
         # `first` flag — no separate pass over the much larger doc_terms.
         obs = Observation(f"doc_terms_{gen}")
         obs_aggs = [F.count(F.lit(1)).alias("rows")]
-        for f in ("title", "content"):
+        for f in INDEX_FIELDS:
             cond = F.col("field") == f
             obs_aggs.append(
                 F.sum(F.when(cond, F.col("first")).otherwise(0)).alias(f"n_{f}")
@@ -198,7 +199,7 @@ class IndexBuilder:
             n_out = int(got["rows"])
             gen_rows = [
                 (gen, f, int(got[f"n_{f}"] or 0), int(got[f"dl_{f}"] or 0))
-                for f in ("title", "content")
+                for f in INDEX_FIELDS
             ]
             self._update_stats(gen, gen_rows)
         self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
@@ -248,8 +249,8 @@ class IndexBuilder:
             overwrite=True,
         )
         stats_rows = [
-            (f, totals[f][0], avgdl_now[f]) for f in ("title", "content")
-            if f in totals
+            (f, totals[f][0], avgdl_now[f]) for f in INDEX_FIELDS
+            if f in totals and totals[f][0] > 0
         ]
         write_small_parquet(
             self.corpus_stats_path,

@@ -38,8 +38,14 @@ K1 = 1.2
 B = 0.75
 TITLE_BOOST = 2.0
 DEFAULT_K = 10
-FIELDS = ("title", "content")
-FIELD_BOOSTS = {"title": TITLE_BOOST, "content": 1.0}
+# The reference's search_bm25 always adds a third should-clause matching
+# chunk_text (mod.rs:493-501, boost 1.0). Its own indexing paths write
+# chunk_text: None for every doc (index.rs:519-520, mod.rs:969), so with no
+# chunked docs the field has zero postings and rankings are identical to the
+# 2-field query — but when a docs table carries a chunk_text column, it is
+# indexed and scored exactly like the reference would.
+FIELDS = ("title", "content", "chunk_text")
+FIELD_BOOSTS = {"title": TITLE_BOOST, "content": 1.0, "chunk_text": 1.0}
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -73,16 +79,20 @@ class BruteForceIndex:
 
     @classmethod
     def build(cls, docs, meta: dict | None = None) -> "BruteForceIndex":
-        """docs: iterable of (doc_id, title, content);
+        """docs: iterable of (doc_id, title, content[, chunk_text]);
         ``meta``: optional {doc_id: (category, published_at)} enabling
         filter-context search (the reference's bool-filter)."""
         idx = cls(doc_ids=[], meta=meta or {})
         for f in FIELDS:
             idx.tf[f] = {}
             idx.dl[f] = {}
-        for doc_id, title, content in docs:
+        for row in docs:
+            doc_id, title, content = row[0], row[1], row[2]
+            chunk = row[3] if len(row) > 3 else None
             idx.doc_ids.append(doc_id)
-            for fname, text in (("title", title), ("content", content)):
+            for fname, text in (
+                ("title", title), ("content", content), ("chunk_text", chunk)
+            ):
                 tokens = analyze_index(text or "")
                 if not tokens:
                     continue

@@ -139,6 +139,52 @@ def test_combined_category_and_date_filter(engine, oracle):
     assert got, "general-category docs after Dec 10 must exist in 600 docs"
 
 
+def test_chunk_text_third_field(spark, tmp_path):
+    """chunk_text is the third scored field (mod.rs:493-501, boost 1.0):
+    an index built from docs carrying a chunk_text column must rank
+    identically to the 3-field brute-force oracle, and docs whose chunk
+    matches the query must gain score from it."""
+    out = f"{tmp_path}/chunk_idx"
+    pages = pages_df(spark, 200, partitions=4)
+    builder = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    # build docs first, then re-index with a synthetic chunk column:
+    # chunk_text = first 120 chars of content for even doc_ids
+    builder.build(pages, fingerprint="chunk-base")
+    base = spark.read.parquet(f"{out}/docs")
+    with_chunks = base.withColumn(
+        "chunk_text",
+        F.when(F.col("doc_id") % 2 == 0, F.substring("text", 1, 120)),
+    )
+    out2 = f"{tmp_path}/chunk_idx2"
+    b2 = IndexBuilder(spark, out2, n_shards=2, salt_threshold=10**9)
+    # write docs-with-chunks as the docs table and run tokenize+postings
+    with_chunks.write.mode("overwrite").parquet(f"{out2}/docs/gen=0")
+    b2._write_index_meta()
+    b2._stage_tokenize_from(with_chunks, 0, "doc_terms", "fp2", {})
+    b2._stage_postings(0, "postings", "fp2", set(), {})
+    b2._stage_term_stats("term_stats", "fp2", set(), {})
+
+    pdf = with_chunks.select(
+        "doc_id", "title", "text", "chunk_text"
+    ).toPandas()
+    oracle = BruteForceIndex.build(
+        [
+            (int(r.doc_id), r.title, r.text, r.chunk_text)
+            for r in pdf.itertuples()
+        ]
+    )
+    engine = SearchEngine(spark, out2)
+    assert "chunk_text" in engine.corpus_stats
+    matched = 0
+    for q in make_query_set()[:6]:
+        exp = oracle.search(q["query_text"], k=q["k"])
+        for mode in ("local", "distributed"):
+            got = engine.search(q["query_text"], k=q["k"], mode=mode)
+            assert _norm(got) == _norm(exp), (mode, q["query_text"])
+        matched += len(exp)
+    assert matched > 0
+
+
 def test_filtered_search_returns_k_in_category(spark, index_dir):
     """The round-1 bug: category applied after top-k returned < k rows.
     Now search_df must return up to k hits all inside the category."""

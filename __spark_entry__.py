@@ -448,6 +448,15 @@ def _mh_expr(seed: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     mh_cols = ", ".join(_mh_expr(s) for s in range(4))
+    # simhash bit-sum columns + signature reassembly (bits=16, seed 0 —
+    # mirrors dedup.simhash exactly: per-bit +1/-1 vote over token hashes)
+    sh_bits = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    sh_sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16)
+    )
     return {
         "doc_tf": f"{_TOKS} SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1,2",
         "term_df": f"""{_TOKS}, tf AS (SELECT doc_id, term FROM toks2 GROUP BY 1,2)
@@ -567,6 +576,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5""",
+        "simhash": f"""{_TOKS},
+            hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substring(md5(concat('0|', term)), 1, 15))
+                          AS BIGINT) AS h
+              FROM toks2),
+            bitsums AS (SELECT doc_id, {sh_bits} FROM hashed GROUP BY doc_id)
+            SELECT doc_id, CAST({sh_sig} AS BIGINT) AS simhash FROM bitsums""",
         "hybrid_topk": f"""WITH bm25_all AS ({_BM25_ORACLE.replace("LIMIT 10", "LIMIT 20").replace("tf.doc_id,", "tf.doc_id AS doc_id,")}),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             knn_all AS (

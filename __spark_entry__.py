@@ -76,9 +76,12 @@ def _corpus_stats(spark, sf_dir):
 
 
 def _bm25_topk(spark, sf_dir, k: int = 10):
+    # ONE tokenize pass: tf is the only child of the exploded tokens; dl
+    # (Σ tf per doc), corpus stats and df all derive from the much smaller
+    # tf relation, which is cached so its 3 consumers don't re-tokenize.
     toks = _doc_tokens(spark, sf_dir)
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -94,9 +94,22 @@ def main(argv: list[str] | None = None) -> int:
             date_to=args.date_to,
         )
         if args.hybrid:
+            import os
+
             from baram_spark.query.hybrid import embed_docs, hybrid_search, knn_search
 
-            emb = embed_docs(spark.read.parquet(f"{args.index}/docs"))
+            emb_dir = f"{args.index}/embeddings"
+            if os.path.exists(emb_dir.removeprefix("file:")):
+                # build-time artifact: one parquet read, zero embedding jobs
+                emb = spark.read.parquet(emb_dir)
+            else:
+                print(
+                    "warning: no build-time embeddings at "
+                    f"{emb_dir} — embedding the corpus per-query is a full "
+                    "scan; rebuild with build_embeddings=True",
+                    file=sys.stderr,
+                )
+                emb = embed_docs(spark.read.parquet(f"{args.index}/docs"))
             knn = knn_search(emb, args.query, k=args.k)
             hits = hybrid_search(hits, knn, k=args.k)
         print(json.dumps({

@@ -370,12 +370,20 @@ def build_postings(
     avgdl_by_field: dict,
     salt_plan: dict,
     codec: int = CODEC_VARINT,
+    out_partitions: int | None = None,
 ) -> DataFrame:
     """doc_terms (WITH shard column) → packed postings (salting + merge).
 
     Group key is (shard, field, term[, salt]) so one job can build any
-    subset of shards; output keeps ``shard`` for partitionBy writes."""
+    subset of shards; output keeps ``shard`` for partitionBy writes.
+
+    ``out_partitions`` folds the writer's layout into the LAST shuffle here
+    (2 exchanges salted, 1 unsalted — there is no separate write
+    repartition): the final stage is partitioned on (shard, term) and
+    row-sorted on (field, term), which is exactly what the writer wants
+    (few files per shard, row-group min/max term pruning)."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out_parts = out_partitions or n_parts
     if salt_plan:
         plan_pdf = pd.DataFrame(
             [(f, t, k) for (f, t), k in salt_plan.items()],
@@ -389,28 +397,35 @@ def build_postings(
                 F.pmod(F.xxhash64(F.col("doc_id")), F.col("salt_k")),
             ).otherwise(F.lit(0)).cast("int"),
         ).drop("salt_k")
-    else:
-        salted = doc_terms.withColumn("salt", F.lit(0).cast("int"))
 
-    # ONE shuffle: hash-partition on the group key, sort within partitions so
-    # groups are contiguous AND doc_ids arrive pre-sorted, then pack every
-    # run in a mapInPandas pass (no per-group applyInPandas overhead).
-    packed = (
-        salted.repartition(n_parts, "shard", "field", "term", "salt")
+        # Row shuffle keyed WITH salt (spreads each heavy term over its k
+        # reducers), sorted so groups are contiguous and doc_ids pre-sorted.
+        packed = (
+            salted.repartition(n_parts, "shard", "field", "term", "salt")
+            .sortWithinPartitions("shard", "field", "term", "salt", "doc_id")
+            .mapInPandas(_pack_partition(avgdl_by_field, codec),
+                         schema=POSTINGS_SCHEMA_SPARK)
+        )
+        # Salted-partial merge: re-shuffle the PACKED rows (≈3 bytes/posting
+        # — 1-2 orders of magnitude lighter than the row shuffle above) and
+        # ordered-concat each term's partials; unsalted runs pass through.
+        # Keyed on (shard, term) at the writer's partition count: the merge
+        # exchange IS the write layout.
+        merged = (
+            packed.repartition(out_parts, "shard", "term")
+            .sortWithinPartitions("shard", "field", "term", "salt")
+            .mapInPandas(_merge_partition(avgdl_by_field, codec),
+                         schema=POSTINGS_SCHEMA_SPARK)
+        )
+        return merged
+
+    # No salt plan ⇒ no term exceeds salt_threshold rows, so keying the row
+    # shuffle by (shard, term) cannot overload a reducer — ONE exchange
+    # serves both packing and the write layout.
+    salted = doc_terms.withColumn("salt", F.lit(0).cast("int"))
+    return (
+        salted.repartition(out_parts, "shard", "term")
         .sortWithinPartitions("shard", "field", "term", "salt", "doc_id")
         .mapInPandas(_pack_partition(avgdl_by_field, codec),
                      schema=POSTINGS_SCHEMA_SPARK)
     )
-    if not salt_plan:
-        return packed
-
-    # Salted-partial merge: re-shuffle the PACKED rows (≈3 bytes/posting —
-    # 1-2 orders of magnitude lighter than the row shuffle above) and
-    # ordered-concat each term's partials; unsalted runs pass through.
-    merged = (
-        packed.repartition(n_parts, "shard", "field", "term")
-        .sortWithinPartitions("shard", "field", "term", "salt")
-        .mapInPandas(_merge_partition(avgdl_by_field, codec),
-                     schema=POSTINGS_SCHEMA_SPARK)
-    )
-    return merged

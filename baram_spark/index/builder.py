@@ -61,6 +61,8 @@ class IndexBuilder:
         codec: int = CODEC_VARINT,
         shard_concurrency: int = 2,
         shards_per_job: int | None = None,
+        build_embeddings: bool = False,
+        embed_fn=None,
     ):
         self.spark = spark
         self.out = out_dir.rstrip("/")
@@ -68,10 +70,18 @@ class IndexBuilder:
         self.salt_threshold = salt_threshold
         self.codec = codec
         self.shard_concurrency = shard_concurrency
+        # hybrid search reads build-time embeddings (embeddings/gen=G) —
+        # never a per-query full-corpus embedding pass. embed_fn is the
+        # model swap point (see query.hybrid.embed_docs).
+        self.build_embeddings = build_embeddings
+        self.embed_fn = embed_fn
         # fresh builds: few big jobs (full parallelism); resume rebuilds are
         # naturally small. Default: half the shards per job.
         self.shards_per_job = shards_per_job or max(n_shards // 2, 1)
         self.ledger = LineageLedger(spark, f"{self.out}/lineage")
+        # salt plans computed concurrently with extract (see
+        # _stage_extract_tokenize); keyed by generation
+        self._salt_plans: dict[int, dict] = {}
 
     # -- paths ----------------------------------------------------------
     @property
@@ -98,6 +108,14 @@ class IndexBuilder:
     def postings_path(self):
         return f"{self.out}/postings"
 
+    @property
+    def deletes_path(self):
+        return f"{self.out}/deletes"
+
+    @property
+    def embeddings_path(self):
+        return f"{self.out}/embeddings"
+
     def _exists(self, path: str) -> bool:
         import os
 
@@ -113,20 +131,25 @@ class IndexBuilder:
         tokenize→doc_terms write — so the expensive HTML parse happens once
         and the docs parquet round-trip between the stages disappears.
         """
+        stage_emb = f"{stage_docs}.embed"
         docs_done = (stage_docs, 0) in done
         terms_done = (stage_terms, 0) in done
+        emb_done = (not self.build_embeddings) or (stage_emb, 0) in done
         if docs_done:
             metrics["resumed_stages"].append(stage_docs)
         if terms_done:
             metrics["resumed_stages"].append(stage_terms)
-        if docs_done and terms_done:
+        if docs_done and terms_done and emb_done:
             return
-        if docs_done and not terms_done:
-            # docs already on disk: tokenize from parquet (resume path)
-            self._stage_tokenize_from(
-                self.spark.read.parquet(f"{self.docs_path}/gen={gen}"),
-                gen, stage_terms, fingerprint, metrics,
-            )
+        if docs_done:
+            # docs already on disk: finish the missing stages from parquet
+            on_disk = self.spark.read.parquet(f"{self.docs_path}/gen={gen}")
+            if not terms_done:
+                self._stage_tokenize_from(
+                    on_disk, gen, stage_terms, fingerprint, metrics
+                )
+            if not emb_done:
+                self._stage_embeddings(on_disk, gen, stage_emb, fingerprint)
             return
 
         from pyspark import StorageLevel
@@ -159,8 +182,33 @@ class IndexBuilder:
                     except Exception as e:
                         errs.append(e)
 
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    list(pool.map(lambda f: f(), [write_docs, write_terms]))
+                def plan_salts_task():
+                    # overlap the salt-plan sample with extract/tokenize:
+                    # tokenize 5% of the persisted extraction (cheap second
+                    # pass over cached rows) instead of a SEQUENTIAL sample
+                    # job over doc_terms after tokenize finishes — removes
+                    # an unparallelizable barrier from the critical path.
+                    try:
+                        self._salt_plans[gen] = self._salt_plan_from_docs(
+                            extracted
+                        )
+                    except Exception as e:
+                        errs.append(e)
+
+                def write_embeddings():
+                    try:
+                        if not emb_done:
+                            self._stage_embeddings(
+                                extracted, gen, stage_emb, fingerprint
+                            )
+                    except Exception as e:
+                        errs.append(e)
+
+                tasks = [write_docs, write_terms, plan_salts_task]
+                if not emb_done:
+                    tasks.append(write_embeddings)
+                with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                    list(pool.map(lambda f: f(), tasks))
                 if errs:
                     raise errs[0]
                 n_out = int(obs_docs.get["rows"])
@@ -204,6 +252,20 @@ class IndexBuilder:
             self._update_stats(gen, gen_rows)
         self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
         metrics["tokenize_seconds"] = t.seconds
+
+    def _stage_embeddings(self, docs, gen, stage, fingerprint) -> None:
+        """Build-time doc embeddings (the reference embeds at index time,
+        vectorize.rs — hybrid queries must never trigger a corpus-wide
+        embedding pass)."""
+        from ..query.hybrid import embed_docs
+
+        with StageTimer() as t:
+            (
+                embed_docs(docs, embed_fn=self.embed_fn)
+                .write.mode("overwrite")
+                .parquet(f"{self.embeddings_path}/gen={gen}")
+            )
+        self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
 
     def _update_stats(self, gen: int, gen_rows: list[tuple]) -> None:
         """Fold this generation into global corpus_stats + gen_meta."""
@@ -268,11 +330,28 @@ class IndexBuilder:
 
     def _salt_plan(self, gen: int) -> dict:
         """Salt planning needs only the Zipf head — a 5% sample finds it at
-        1/20th the cost; df estimates scale back up by 1/fraction."""
+        1/20th the cost; df estimates scale back up by 1/fraction.
+
+        Resume fallback: the fresh-build path computes the plan concurrently
+        with extract (_salt_plan_from_docs); this reads doc_terms instead."""
         doc_terms = self.spark.read.parquet(f"{self.doc_terms_path}/gen={gen}")
         frac = 0.05
         sample_counts = (
             doc_terms.sample(fraction=frac, seed=42)
+            .groupBy("field", "term")
+            .agg((F.count("*") / frac).cast("long").alias("df"))
+            .filter(F.col("df") > self.salt_threshold)
+            .toPandas()
+        )
+        return plan_salts(sample_counts, self.salt_threshold)
+
+    def _salt_plan_from_docs(self, docs: DataFrame) -> dict:
+        """Same Zipf-head estimate from a 5% DOC sample of the in-flight
+        extraction (df is a per-doc count, so doc sampling estimates it
+        just like row sampling does)."""
+        frac = 0.05
+        sample_counts = (
+            tokenize_docs(docs.sample(fraction=frac, seed=42))
             .groupBy("field", "term")
             .agg((F.count("*") / frac).cast("long").alias("df"))
             .filter(F.col("df") > self.salt_threshold)
@@ -285,7 +364,9 @@ class IndexBuilder:
             r["field"]: float(r["avgdl"])
             for r in self.spark.read.parquet(self.corpus_stats_path).collect()
         }
-        salt_plan = self._salt_plan(gen)
+        salt_plan = self._salt_plans.pop(gen, None)
+        if salt_plan is None:
+            salt_plan = self._salt_plan(gen)
         todo = [
             k for k in range(self.n_shards)
             if (stage_prefix, k) not in done
@@ -309,18 +390,17 @@ class IndexBuilder:
                 self.spark.read.option("basePath", gen_doc_terms)
                 .parquet(*[f"{gen_doc_terms}/shard={k}" for k in shard_ids])
             )
+            # the LAST exchange inside build_postings is keyed on
+            # (shard, term) at this partition count — the write needs no
+            # repartition of its own (2 exchanges salted, 1 unsalted);
+            # counts ride along as write observations.
             postings = build_postings(
                 self.spark, shard_terms, avgdl_by_field, salt_plan,
-                codec=self.codec,
+                codec=self.codec, out_partitions=4 * len(shard_ids),
             )
-            # few term-sorted files per shard → min/max-pruned lookups;
-            # repartition (not coalesce) keeps upstream parallelism; counts
-            # ride along as write observations.
             obs = Observation(f"postings-{gen}-{shard_ids[0]}")
             (
-                postings.repartition(4 * len(shard_ids), "shard", "term")
-                .sortWithinPartitions("field", "term")
-                .observe(
+                postings.observe(
                     obs,
                     *[
                         F.sum(
@@ -458,6 +538,105 @@ class IndexBuilder:
         self._stage_postings(gen, stage("postings"), fingerprint, done, metrics)
         self._stage_term_stats(stage("term_stats"), fingerprint, done, metrics)
         return metrics
+
+    # -- deletion (delete_by_query analog, mod.rs:768-818) -----------------
+    def deleted_ids(self) -> list[int]:
+        """Current tombstone set (sorted doc_ids)."""
+        import os
+
+        local = self.deletes_path.removeprefix("file:")
+        if not os.path.exists(local):
+            return []
+        import pyarrow.parquet as pq
+
+        try:
+            tbl = pq.read_table(local)
+        except Exception:
+            return []
+        return sorted(set(tbl["doc_id"].to_pylist()))
+
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone documents by id; returns how many NEW tombstones were
+        added. Deleted docs stop appearing in search immediately (the query
+        engine excludes the tombstone set pre-ranking, like Lucene deleted
+        docs); the postings bytes are reclaimed by :meth:`compact`.
+
+        The tombstone set is assumed small relative to the corpus (the
+        Lucene deleted-docs-bitmap regime). Bulk deletions of a large
+        fraction of the index should go straight to compact()/rebuild."""
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(doc_ids, _DF):
+            ids = sorted(
+                int(r["doc_id"])
+                for r in doc_ids.select("doc_id").distinct().collect()
+            )
+        else:
+            ids = sorted({int(x) for x in doc_ids})
+        existing = set(self.deleted_ids())
+        new = [i for i in ids if i not in existing]
+        if new:
+            import pyarrow as pa
+
+            from .lineage import write_small_parquet
+
+            write_small_parquet(
+                self.deletes_path,
+                pa.table({"doc_id": pa.array(new, pa.int64())}),
+            )
+        return len(new)
+
+    def delete_by_query(self, predicate: str) -> int:
+        """Tombstone every indexed doc matching a SQL predicate over the
+        docs table (the ``delete_by_query`` analog, mod.rs:768-818) —
+        e.g. ``"category = 'sports'"`` or ``"url = '...'"``. The predicate
+        is a pushed-down parquet filter; returns the number tombstoned."""
+        docs = self.spark.read.parquet(self.docs_path).filter(predicate)
+        return self.delete_docs(docs.select("doc_id"))
+
+    def compact(self, fingerprint: str | None = None) -> dict:
+        """Physically remove tombstoned docs: rewrite each affected
+        generation's docs + doc_terms + postings, refresh global stats and
+        term_stats, then clear the tombstone set. Generations containing no
+        tombstoned doc are untouched (per-generation compaction — the
+        Lucene segment-merge shape)."""
+        import os
+        import shutil
+        import time as _time
+
+        deleted = self.deleted_ids()
+        result = {"tombstones": len(deleted), "compacted_gens": []}
+        if not deleted:
+            return result
+        fp = fingerprint or f"compact-{int(_time.time())}"
+        del_df = F.broadcast(
+            self.spark.createDataFrame([(i,) for i in deleted], "doc_id long")
+        )
+        for gen in self.generations():
+            gen_dir = f"{self.docs_path}/gen={gen}"
+            docs_gen = self.spark.read.parquet(gen_dir)
+            if docs_gen.join(del_df, "doc_id", "left_semi").isEmpty():
+                continue
+            kept = docs_gen.join(del_df, "doc_id", "left_anti")
+            # rewrite via tmp dir + swap (cannot overwrite a path mid-read)
+            tmp = f"{self.out}/_compact_tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            local_gen = gen_dir.removeprefix("file:")
+            shutil.rmtree(local_gen)
+            os.rename(tmp.removeprefix("file:"), local_gen)
+            stage = lambda name: f"{name}.g{gen}"
+            self._stage_tokenize_from(
+                self.spark.read.parquet(gen_dir), gen, stage("doc_terms"),
+                fp, {},
+            )
+            self._stage_postings(gen, stage("postings"), fp, set(), {})
+            result["compacted_gens"].append(gen)
+        if result["compacted_gens"]:
+            self._stage_term_stats(f"term_stats.{fp}", fp, set(), {})
+        shutil.rmtree(
+            self.deletes_path.removeprefix("file:"), ignore_errors=True
+        )
+        return result
 
     def generations(self) -> list[int]:
         import os

@@ -41,28 +41,50 @@ def _assign_bucket(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
     norms[norms == 0] = 1.0
     mat = mat / norms[:, None]
 
-    centroids: list[np.ndarray] = []
-    sizes: list[int] = []
+    # sequential over docs (required by the reference's running-mean
+    # semantics) but VECTORIZED over centroids: one matmul per doc against
+    # the centroid matrix instead of a Python loop per centroid.
+    dim = mat.shape[1] if mat.size else 0
+    cap = 64
+    cent = np.zeros((cap, dim), dtype=np.float64)  # running-mean centroids
+    cent_norm = np.zeros(cap, dtype=np.float64)
+    sizes_arr = np.zeros(cap, dtype=np.int64)
+    n_clusters = 0
     assign = np.empty(ids.size, dtype=np.int64)
     for i in range(ids.size):
         v = mat[i]
-        best, best_cos = -1, threshold
-        for c in range(len(centroids)):
-            cen = centroids[c]
-            cos = float(v @ cen / (np.linalg.norm(cen) or 1.0))
-            if cos >= best_cos:
-                best, best_cos = c, cos
+        best = -1
+        if n_clusters:
+            cos = cent[:n_clusters] @ v / np.where(
+                cent_norm[:n_clusters] == 0, 1.0, cent_norm[:n_clusters]
+            )
+            # ≥ threshold, best cosine; on exact ties the LAST centroid
+            # wins (the original scan replaced on cos >= best_cos)
+            c = n_clusters - 1 - int(np.argmax(cos[::-1]))
+            if cos[c] >= threshold:
+                best = c
         if best < 0:
-            centroids.append(v.copy())
-            sizes.append(1)
-            assign[i] = len(centroids) - 1
+            if n_clusters == cap:
+                cap *= 2
+                cent = np.vstack([cent, np.zeros_like(cent)])
+                cent_norm = np.concatenate([cent_norm, np.zeros(cap // 2)])
+                sizes_arr = np.concatenate(
+                    [sizes_arr, np.zeros(cap // 2, dtype=np.int64)]
+                )
+            cent[n_clusters] = v
+            cent_norm[n_clusters] = np.linalg.norm(v)
+            sizes_arr[n_clusters] = 1
+            assign[i] = n_clusters
+            n_clusters += 1
         else:
             # running mean update (engine.rs:282-330)
-            centroids[best] = (centroids[best] * sizes[best] + v) / (
-                sizes[best] + 1
+            cent[best] = (cent[best] * sizes_arr[best] + v) / (
+                sizes_arr[best] + 1
             )
-            sizes[best] += 1
+            cent_norm[best] = np.linalg.norm(cent[best])
+            sizes_arr[best] += 1
             assign[i] = best
+    sizes = sizes_arr[:n_clusters].tolist()
     return pd.DataFrame(
         {
             "doc_id": ids,
@@ -77,14 +99,36 @@ def cluster_embeddings(
     dim: int,
     threshold: float = DEFAULT_THRESHOLD,
     min_size: int = DEFAULT_MIN_SIZE,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_size: int = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """→ (cluster_id, doc_id, cluster_size), size-filtered.
 
     cluster_id = bucket * 2^32 + local id (globally unique, deterministic).
+
+    Per-bucket work is bounded two ways (the 100×-scale requirement —
+    a fixed bucket count would put ~n/2^planes docs in every reducer):
+
+    - ``n_planes=None`` (default) derives the bucket count from the corpus
+      size so E[bucket] ≈ ``target_bucket_size``.
+    - buckets that still exceed ``max_bucket_size`` (skewed regions of
+      embedding space; default 8×target) are split once more with an
+      independent set of hyperplanes, so no reducer ever sees an unbounded
+      group.
     """
+    max_bucket = max_bucket_size or 8 * target_bucket_size
+    if n_planes is None:
+        import math
+
+        n = embeddings.count()
+        n_planes = min(
+            max(int(math.ceil(math.log2(max(n, 1) / target_bucket_size)))
+                if n > target_bucket_size else 1, 1),
+            23,  # keeps split keys (2^n + bucket·2^7 + sub) inside int32
+        )
     bucketed = random_hyperplane_buckets(
         embeddings, dim, n_planes, vec_col
     ).select(
@@ -92,6 +136,34 @@ def cluster_embeddings(
         F.col(id_col).alias("doc_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+
+    # split pathologically skewed buckets with a SECOND, independent LSH
+    # (seed-shifted planes): tiny agg over bucket ids, then a sub-bucket
+    # column only for rows in oversized buckets. One level suffices to
+    # bound the tail by max_bucket / 2^SUB_PLANES in expectation.
+    SUB_PLANES = 7  # ≤ 128 sub-buckets; keeps the combined key < 2^31
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+    oversized = [
+        int(r["bucket"])
+        for r in counts.filter(F.col("n") > max_bucket).collect()
+    ]
+    if oversized:
+        sub = random_hyperplane_buckets(
+            bucketed, dim, SUB_PLANES, vec_col="vec", seed=10_007,
+            out_col="sub",
+        )
+        # split keys live above 2^n_planes so they can never collide with
+        # an unsplit bucket id (those are all < 2^n_planes)
+        base = 2 ** n_planes
+        bucketed = sub.withColumn(
+            "bucket",
+            F.when(
+                F.col("bucket").isin(oversized),
+                F.lit(base)
+                + F.col("bucket") * (2 ** SUB_PLANES)
+                + F.col("sub"),
+            ).otherwise(F.col("bucket")),
+        ).drop("sub")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])

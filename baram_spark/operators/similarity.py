@@ -70,8 +70,8 @@ def brute_force_knn(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    rng = np.random.default_rng(SEED)
+def _hyperplanes(dim: int, n_planes: int, seed: int | None = None) -> np.ndarray:
+    rng = np.random.default_rng(SEED if seed is None else seed)
     return rng.standard_normal((n_planes, dim))
 
 
@@ -80,16 +80,18 @@ def random_hyperplane_buckets(
     dim: int,
     n_planes: int = 8,
     vec_col: str = "embedding",
+    seed: int | None = None,
+    out_col: str = "bucket",
 ) -> DataFrame:
     """Add a sign-LSH ``bucket`` column: bit j = sign(v · plane_j)."""
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes, seed)
     bucket = None
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for j in range(n_planes):
         p = F.array(*[F.lit(float(x)) for x in planes[j]])
         bit = F.when(_dot(vec, p) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else (bucket + bit)
-    return embeddings.withColumn("bucket", bucket.cast("int"))
+    return embeddings.withColumn(out_col, bucket.cast("int"))
 
 
 def ann_knn(

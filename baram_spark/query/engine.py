@@ -63,6 +63,11 @@ class SearchEngine:
                     1.0, avgdl_now / pack if pack else 1.0
                 )
         self.n_shards = self._detect_n_shards()
+        # tombstones (delete_by_query analog): excluded pre-ranking like
+        # Lucene deleted docs; reclaimed by IndexBuilder.compact(). The set
+        # is small by contract (deleted-docs-bitmap regime) so it rides to
+        # executors inside the task closure.
+        self._denied = self._load_denied()
         self._mem_df: dict | None = None
         self._mem_postings: dict | None = None
         if preload:
@@ -96,6 +101,22 @@ class SearchEngine:
                 if d.startswith("shard="):
                     shards.add(int(d.split("=", 1)[1]))
         return (max(shards) + 1) if shards else 1
+
+    def _load_denied(self):
+        import os
+
+        local = f"{self.index_dir}/deletes".removeprefix("file:")
+        if not os.path.exists(local):
+            return None
+        import pyarrow.parquet as pq
+
+        try:
+            ids = pq.read_table(local)["doc_id"].to_numpy()
+        except Exception:
+            return None
+        if ids.size == 0:
+            return None
+        return np.unique(ids.astype(np.int64))
 
     def _allowed_docs(self, category, date_from, date_to):
         """Filter-context candidate set (doc_id, shard) — the reference's
@@ -186,6 +207,7 @@ class SearchEngine:
         avgdls = {f: self.corpus_stats[f][1] for f in self.corpus_stats}
         scorer = score_blockmax if prune else score_exhaustive
         allowed_df = self._allowed_docs(category, date_from, date_to)
+        denied = self._denied
 
         if mode == "local":
             allowed_by_shard: dict[int, np.ndarray] | None = None
@@ -253,7 +275,7 @@ class SearchEngine:
                     if allowed is None:
                         continue  # no doc in this shard passes the filter
                 partials.extend(scorer(shard_terms, k, min_score,
-                                       allowed=allowed))
+                                       allowed=allowed, denied=denied))
             return _merge_topk(partials, k)
 
         weights = self._weights(terms)
@@ -280,7 +302,7 @@ class SearchEngine:
                         bound_factor.get((int(row.gen), row.field), 1.0),
                     )
                 )
-            hits = scorer(tps, k, min_score, allowed=allowed)
+            hits = scorer(tps, k, min_score, allowed=allowed, denied=denied)
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([h[0] for h in hits], dtype="int64"),
@@ -354,10 +376,16 @@ class SearchEngine:
             from .hybrid import highlight
 
             def add_highlights(iterator):
+                # reference highlight shape (mod.rs:612-621, flattened
+                # title-then-content in parse_search_hits 636-655):
+                # 1 title fragment + up to 3×150-char content fragments
                 for pdf in iterator:
                     pdf = pdf.copy()
                     pdf["highlights"] = [
-                        highlight(t or "", query_text) for t in pdf["text"]
+                        highlight(title or "", query_text, n_fragments=1,
+                                  frag_len=100)
+                        + highlight(t or "", query_text)
+                        for title, t in zip(pdf["title"], pdf["text"])
                     ]
                     yield pdf.drop(columns=["text"])
 

@@ -50,19 +50,25 @@ def hash_embed(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
 
 
 def embed_docs(docs: DataFrame, dim: int = DEFAULT_DIM,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """docs → (doc_id, embedding array<double>); narrow Arrow stage."""
+               text_col: str = "text", id_col: str = "doc_id",
+               embed_fn=None) -> DataFrame:
+    """docs → (doc_id, embedding array<double>); narrow Arrow stage.
+
+    ``embed_fn(texts: list[str]) -> 2-D array`` is the model swap point —
+    the ``predict_batch_udf`` shape: a real encoder (the MiniLM service the
+    reference calls over HTTP, vectorize.rs:238-364) plugs in here and gets
+    Arrow-batched inputs; the default is the deterministic hashing-trick
+    embedding. Everything downstream is model-agnostic."""
 
     def run(iterator):
         for pdf in iterator:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "embedding": [
-                        hash_embed(t, dim).tolist() for t in pdf[text_col]
-                    ],
-                }
-            )
+            texts = ["" if t is None else t for t in pdf[text_col].tolist()]
+            if embed_fn is not None:
+                mat = np.asarray(embed_fn(texts), dtype=np.float64)
+                vecs = [row.tolist() for row in mat]
+            else:
+                vecs = [hash_embed(t, dim).tolist() for t in texts]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "embedding": vecs})
 
     return docs.select(id_col, text_col).mapInPandas(
         run, schema="doc_id long, embedding array<double>"

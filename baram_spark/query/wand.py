@@ -104,15 +104,28 @@ def _topk(uniq_ids: np.ndarray, scores: np.ndarray, k: int,
     return [(int(uniq_ids[i]), float(scores[i])) for i in order[:k]]
 
 
+def _member_mask(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Boolean membership of ids in a SORTED int64 array."""
+    if sorted_set.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    idx = np.searchsorted(sorted_set, ids)
+    idx_c = np.minimum(idx, sorted_set.size - 1)
+    return (idx < sorted_set.size) & (sorted_set[idx_c] == ids)
+
+
 def _filter_allowed(ids: np.ndarray, contribs: np.ndarray,
                     allowed: np.ndarray):
     """Keep only ids present in the SORTED ``allowed`` array (filter-context
     semantics: restricts candidates, never changes scores)."""
-    if allowed.size == 0:
-        return ids[:0], contribs[:0]
-    idx = np.searchsorted(allowed, ids)
-    idx_c = np.minimum(idx, allowed.size - 1)
-    mask = (idx < allowed.size) & (allowed[idx_c] == ids)
+    mask = _member_mask(ids, allowed)
+    return ids[mask], contribs[mask]
+
+
+def _filter_denied(ids: np.ndarray, contribs: np.ndarray,
+                   denied: np.ndarray):
+    """Drop ids present in the SORTED ``denied`` array (tombstones — the
+    delete_by_query analog: deleted docs never enter the top-k race)."""
+    mask = ~_member_mask(ids, denied)
     return ids[mask], contribs[mask]
 
 
@@ -129,14 +142,18 @@ def _accumulate(all_ids: list, all_contribs: list):
 
 
 def score_exhaustive(terms: list, k: int, min_score: float | None = None,
-                     allowed: np.ndarray | None = None):
+                     allowed: np.ndarray | None = None,
+                     denied: np.ndarray | None = None):
     """Exact scoring: decode everything, accumulate, top-k.
 
     ``allowed`` (sorted int64 doc_ids) applies PRE-ranking filter context —
     the reference's category/date bool-filter (src/embedding/mod.rs:509-531):
     docs outside the set never enter the top-k race; scores of surviving
     docs are identical to the unfiltered search (Lucene filter context does
-    not change df/idf statistics)."""
+    not change df/idf statistics). ``denied`` is the inverse — tombstoned
+    doc_ids from delete_by_query (mod.rs:768-818) are excluded the same
+    way (scores of live docs keep their pre-delete statistics until the
+    next compaction, exactly like Lucene deleted docs)."""
     terms = _canonical_order(terms)
     if not terms:
         return []
@@ -147,6 +164,8 @@ def score_exhaustive(terms: list, k: int, min_score: float | None = None,
         ids, contribs = tp.decode_blocks(np.arange(tp.n_blocks))
         if allowed is not None:
             ids, contribs = _filter_allowed(ids, contribs, allowed)
+        if denied is not None:
+            ids, contribs = _filter_denied(ids, contribs, denied)
         all_ids.append(ids)
         all_contribs.append(contribs)
     uniq, scores = _accumulate(all_ids, all_contribs)
@@ -154,13 +173,14 @@ def score_exhaustive(terms: list, k: int, min_score: float | None = None,
 
 
 def score_blockmax(terms: list, k: int, min_score: float | None = None,
-                   chunk: int = 64, allowed: np.ndarray | None = None):
+                   chunk: int = 64, allowed: np.ndarray | None = None,
+                   denied: np.ndarray | None = None):
     """Block-max segment-pruned exact top-k (see module docstring).
 
-    ``allowed`` filters candidates pre-ranking (see score_exhaustive). The
-    block-max bounds stay safe upper bounds under filtering — removing docs
-    can only lower a segment's true best score — so pruning remains exact.
-    """
+    ``allowed``/``denied`` filter candidates pre-ranking (see
+    score_exhaustive). The block-max bounds stay safe upper bounds under
+    filtering — removing docs can only lower a segment's true best score —
+    so pruning remains exact."""
     terms = _canonical_order(terms)
     if not terms:
         return []
@@ -168,7 +188,8 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
         return []
     total_blocks = sum(t.n_blocks for t in terms)
     if total_blocks <= 8:
-        return score_exhaustive(terms, k, min_score, allowed=allowed)
+        return score_exhaustive(terms, k, min_score, allowed=allowed,
+                                denied=denied)
 
     # --- segment construction -------------------------------------------
     pts = []
@@ -181,7 +202,8 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
     cuts = np.unique(np.concatenate(pts))
     n_seg = cuts.size - 1
     if n_seg <= 0:
-        return score_exhaustive(terms, k, min_score, allowed=allowed)
+        return score_exhaustive(terms, k, min_score, allowed=allowed,
+                                denied=denied)
     seg_lo, seg_hi = cuts[:-1], cuts[1:]  # [lo, hi) doc-id ranges
 
     seg_ub = np.zeros(n_seg, dtype=np.float64)
@@ -232,6 +254,8 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
             ids, contribs = ids[valid], contribs[valid]
             if allowed is not None:
                 ids, contribs = _filter_allowed(ids, contribs, allowed)
+            if denied is not None:
+                ids, contribs = _filter_denied(ids, contribs, denied)
             all_ids.append(ids)
             all_contribs.append(contribs)
         if all_ids:

@@ -68,6 +68,51 @@ def test_membership_and_sizes_consistent(spark, clustered_emb):
         assert all(m["cluster_size"] == len(members) for m in members)
 
 
+def test_oversized_bucket_split_bounds_work(spark):
+    """A deliberately skewed primary bucketing (n_planes=1 → ~n/2 diverse
+    vectors per bucket) must be re-split with the secondary LSH so no
+    reducer group exceeds the bound; output stays deterministic and every
+    doc is still clustered exactly once."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(800)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clusters = cluster_embeddings(
+        emb, dim=DIM, threshold=0.99, min_size=1, n_planes=1,
+        target_bucket_size=50, max_bucket_size=100,
+    )
+    out = clusters.collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 800 and len(set(ids)) == 800
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["cluster_id"] >> 32, 0)
+        by_bucket[r["cluster_id"] >> 32] += 1
+    # the two primary buckets (~400 docs each) were split: many more groups,
+    # every group's work bounded
+    assert len(by_bucket) > 2
+    assert max(by_bucket.values()) <= 100
+    again = sorted((r["cluster_id"], r["doc_id"]) for r in clusters.collect())
+    assert again == sorted((r["cluster_id"], r["doc_id"]) for r in out)
+
+
+def test_adaptive_n_planes_small_corpus(spark, clustered_emb):
+    """n_planes=None derives the bucket count from corpus size; at 70 docs
+    it must pick the minimum (1 plane) and still recover planted clusters
+    without mixing."""
+    clusters = cluster_embeddings(
+        clustered_emb, dim=DIM, threshold=0.75, min_size=2
+    )
+    labels = {r["vec_id"]: r["label"] for r in clustered_emb.collect()}
+    by_cluster: dict = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(labels[r["doc_id"]])
+    for members in by_cluster.values():
+        real = [m for m in members if m >= 0]
+        assert len(set(real)) <= 1, f"mixed cluster: {members}"
+
+
 def test_summaries_ordered_and_deterministic(spark, clustered_emb):
     clusters = cluster_embeddings(
         clustered_emb, dim=DIM, threshold=0.75, min_size=2, n_planes=2

@@ -70,6 +70,7 @@ class SearchEngine:
         self._denied = self._load_denied()
         self._mem_df: dict | None = None
         self._mem_postings: dict | None = None
+        self._pa_ds = None  # lazily-built pyarrow dataset (local mode)
         if preload:
             self._mem_df = {
                 (r["field"], r["term"]): int(r["df"])
@@ -171,6 +172,41 @@ class SearchEngine:
                 )
         return weights
 
+    def _postings_rows_local(self, terms: list[str]) -> list[tuple]:
+        """Driver-side pruned postings lookup — ZERO Spark jobs.
+
+        local mode collects the matching posting blobs to the driver anyway,
+        so the lookup goes through a pyarrow dataset with the same
+        (field, term) predicate the Spark path pushes down (file/row-group
+        min-max pruning on the term-sorted files). The dataset's file
+        listing is cached like the Spark FileIndex; rebuilds need a fresh
+        engine (documented engine contract)."""
+        import pyarrow.dataset as ds
+
+        if self._pa_ds is None:
+            self._pa_ds = ds.dataset(
+                f"{self.index_dir}/postings".removeprefix("file:"),
+                format="parquet",
+                partitioning="hive",
+            )
+        names = set(self._pa_ds.schema.names)
+        filt = ds.field("term").isin(terms) & ds.field("field").isin(
+            list(FIELDS)
+        )
+        cols = ["field", "term", "df", "postings", "skips", "blockmax"]
+        cols += [c for c in ("gen", "shard") if c in names]
+        tbl = self._pa_ds.to_table(filter=filt, columns=cols)
+        d = tbl.to_pydict()
+        n = tbl.num_rows
+        gens = d.get("gen", [0] * n)
+        shards = d.get("shard", [0] * n)
+        return [
+            (d["field"][i], d["term"][i], int(d["df"][i]),
+             bytes(d["postings"][i]), bytes(d["skips"][i]),
+             bytes(d["blockmax"][i]), int(gens[i]), int(shards[i]))
+            for i in range(n)
+        ]
+
     def _postings_rows(self, terms: list[str]) -> DataFrame:
         cols = ["shard", "field", "term", "df", "postings", "skips", "blockmax"]
         sel = self._postings.filter(
@@ -239,13 +275,18 @@ class SearchEngine:
                     for t in terms
                 }
             else:
-                collected = self._postings_rows(terms).collect()
-                rows = [
-                    (r["field"], r["term"], int(r["df"]), bytes(r["postings"]),
-                     bytes(r["skips"]), bytes(r["blockmax"]), int(r["gen"]),
-                     int(r["shard"]))
-                    for r in collected
-                ]
+                try:
+                    rows = self._postings_rows_local(terms)
+                except Exception:
+                    # fall back to the one-job Spark path (e.g. remote FS)
+                    collected = self._postings_rows(terms).collect()
+                    rows = [
+                        (r["field"], r["term"], int(r["df"]),
+                         bytes(r["postings"]), bytes(r["skips"]),
+                         bytes(r["blockmax"]), int(r["gen"]),
+                         int(r["shard"]))
+                        for r in collected
+                    ]
                 df_by_key: dict = {}
                 for f, t, d, *_ in rows:
                     df_by_key[(f, t)] = df_by_key.get((f, t), 0) + d

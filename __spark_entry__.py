@@ -113,6 +113,21 @@ def _bm25_topk(spark, sf_dir, k: int = 10):
     )
 
 
+def _bm25_topk_filtered(spark, sf_dir, k: int = 10):
+    """Filter-context BM25 (the engine's category/date semantics on the
+    SQL-checkable demo path): candidates restricted to lang='en' docs, but
+    df/avgdl stay full-corpus — scores identical to the unfiltered query."""
+    scored = _bm25_topk(spark, sf_dir, k=10**9)  # full ranking, no limit
+    allowed = _t(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select("doc_id")
+    return (
+        scored.join(F.broadcast(allowed), "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _BM25_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -166,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_bm25(spark, sf_dir):
         return _bm25_topk(spark, sf_dir)
+
+    def q_bm25_filtered(spark, sf_dir):
+        return _bm25_topk_filtered(spark, sf_dir)
 
     def q_moving_avg(spark, sf_dir):
         out = trends.moving_average(events_series(spark, sf_dir))
@@ -405,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25,
+        "bm25_topk_filtered": q_bm25_filtered,
         "moving_average": q_moving_avg,
         "spike_zscore": q_spikes,
         "trend_slope": q_trend_slope,
@@ -467,6 +486,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": f"""{_TOKS}, dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1)
             SELECT count(*) AS n_docs, ROUND(avg(dl), 6) AS avgdl FROM dl""",
         "bm25_topk": _BM25_ORACLE,
+        # filter context: candidate set restricted to lang='en', df/avgdl
+        # full-corpus (matches SearchEngine's pre-ranking filter semantics)
+        "bm25_topk_filtered": _BM25_ORACLE.replace(
+            "JOIN dl ON tf.doc_id = dl.doc_id",
+            "JOIN dl ON tf.doc_id = dl.doc_id "
+            "JOIN (SELECT doc_id FROM documents WHERE lang = 'en') allow "
+            "ON tf.doc_id = allow.doc_id",
+        ),
         "moving_average": f"""WITH {_SERIES}
             SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
                    ROUND(avg(cnt) OVER (PARTITION BY key ORDER BY day

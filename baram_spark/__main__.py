@@ -10,6 +10,9 @@ Commands (mirroring the reference CLI, ``/root/reference/src/main.rs``):
     search  --index DIR --query TEXT [--k K] [--mode local|distributed]
             [--min-score X] [--hybrid] [--category C]
             [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD]
+    serve   --index DIR [--host H] [--port P]    (REST /api/search + /api/health)
+    stats   --index DIR                          (doc/postings/generation counts)
+    cluster --index DIR [--threshold X] [--min-size N] [--out PATH]
     bench   (delegates to bench.py defaults)
 """
 
@@ -60,6 +63,20 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--category", default=None)
     p_search.add_argument("--date-from", type=_date, default=None)
     p_search.add_argument("--date-to", type=_date, default=None)
+
+    p_serve = sub.add_parser("serve")
+    p_serve.add_argument("--index", required=True)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=3000)
+
+    p_stats = sub.add_parser("stats")
+    p_stats.add_argument("--index", required=True)
+
+    p_cluster = sub.add_parser("cluster")
+    p_cluster.add_argument("--index", required=True)
+    p_cluster.add_argument("--threshold", type=float, default=0.75)
+    p_cluster.add_argument("--min-size", type=int, default=2)
+    p_cluster.add_argument("--out", default=None)
 
     args = parser.parse_args(argv)
 
@@ -117,6 +134,70 @@ def main(argv: list[str] | None = None) -> int:
             "latency_ms": round(1000 * (time.time() - t0), 1),
             "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
         }, ensure_ascii=False))
+    elif args.cmd == "serve":
+        from baram_spark.serving import ServingContext, make_server
+
+        ctx = ServingContext(spark, args.index)
+        server = make_server(ctx, host=args.host, port=args.port)
+        host, port = server.server_address[:2]
+        print(f"baram-spark API server on http://{host}:{port}")
+        print("  GET  /api/search    - Search articles")
+        print("  GET  /api/health    - Health check")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+    elif args.cmd == "stats":
+        idx = args.index.rstrip("/")
+        docs = spark.read.parquet(f"{idx}/docs")
+        post = spark.read.parquet(f"{idx}/postings")
+        from pyspark.sql import functions as F
+
+        gens = sorted(
+            int(r["gen"]) for r in docs.select("gen").distinct().collect()
+        ) if "gen" in docs.columns else [0]
+        stats = {
+            "documents": docs.count(),
+            "generations": gens,
+            "posting_lists": post.count(),
+            "postings": int(post.agg(F.sum("df")).collect()[0][0] or 0),
+            "terms": spark.read.parquet(f"{idx}/term_stats").count(),
+        }
+        import os
+
+        if os.path.exists(f"{idx}/deletes"):
+            stats["pending_tombstones"] = (
+                spark.read.parquet(f"{idx}/deletes").count()
+            )
+        print(json.dumps(stats))
+    elif args.cmd == "cluster":
+        from pyspark.sql import functions as F
+
+        from baram_spark.operators.clustering import (
+            cluster_embeddings,
+            cluster_summaries,
+        )
+
+        emb = spark.read.parquet(f"{args.index}/embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        clusters = cluster_embeddings(
+            emb, dim=dim, threshold=args.threshold, min_size=args.min_size,
+            id_col="doc_id",
+        )
+        summaries = cluster_summaries(clusters)
+        if args.out:
+            # S13 cluster JSON sink
+            summaries.write.mode("overwrite").json(args.out)
+            print(json.dumps({"clusters": summaries.count(), "out": args.out}))
+        else:
+            rows = summaries.limit(20).collect()
+            print(json.dumps({
+                "clusters": [
+                    {"cluster_id": r["cluster_id"], "n_docs": r["n_docs"],
+                     "doc_ids": r["doc_ids"][:10]}
+                    for r in rows
+                ]
+            }))
     spark.stop()
     return 0
 

@@ -227,6 +227,7 @@ class SearchEngine:
         category: str | None = None,
         date_from=None,
         date_to=None,
+        allowed_ids=None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score); rank-identical to the brute-force oracle.
 
@@ -235,19 +236,40 @@ class SearchEngine:
         candidate set is restricted before top-k, scores of surviving docs
         are unchanged. Distributed mode ships the per-shard allowed sets via
         a shard cogroup (never through the driver); local mode collects them
-        (the low-latency serving path, fine for selective filters)."""
+        (the low-latency serving path, fine for selective filters).
+
+        ``allowed_ids`` lets a serving tier that already holds the doc
+        metadata pass a precomputed sorted candidate array directly — zero
+        Spark jobs for filtered local-mode queries."""
         k = min(k, MAX_K)
         terms = sorted(set(analyze_search(query_text)))
         if not terms:
             return []
         avgdls = {f: self.corpus_stats[f][1] for f in self.corpus_stats}
         scorer = score_blockmax if prune else score_exhaustive
-        allowed_df = self._allowed_docs(category, date_from, date_to)
+        allowed_flat: np.ndarray | None = None
+        allowed_df = None
+        if allowed_ids is not None:
+            allowed_flat = np.unique(np.asarray(list(allowed_ids),
+                                                dtype=np.int64))
+            if mode != "local":
+                from ..index.build import shard_expr
+
+                allowed_df = self.spark.createDataFrame(
+                    [(int(i),) for i in allowed_flat], "doc_id long"
+                ).select(
+                    "doc_id",
+                    shard_expr(self.n_shards).cast("int").alias("shard"),
+                )
+        else:
+            allowed_df = self._allowed_docs(category, date_from, date_to)
         denied = self._denied
 
         if mode == "local":
             allowed_by_shard: dict[int, np.ndarray] | None = None
-            if allowed_df is not None:
+            if allowed_flat is not None:
+                pass  # one flat membership array serves every shard
+            elif allowed_df is not None:
                 rows = allowed_df.collect()
                 tmp: dict[int, list] = {}
                 for r in rows:
@@ -310,8 +332,8 @@ class SearchEngine:
                 )
             partials = []
             for shard, shard_terms in by_shard.items():
-                allowed = None
-                if allowed_by_shard is not None:
+                allowed = allowed_flat
+                if allowed is None and allowed_by_shard is not None:
                     allowed = allowed_by_shard.get(shard)
                     if allowed is None:
                         continue  # no doc in this shard passes the filter

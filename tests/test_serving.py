@@ -1,0 +1,110 @@
+"""REST serving tier: /api/search + /api/health against a live server
+(the ``baram serve`` analog, serve.rs:311-470)."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from baram_spark.corpus import make_query_set, pages_df
+from baram_spark.index.builder import IndexBuilder
+from baram_spark.query.engine import SearchEngine
+from baram_spark.serving import ServingContext, make_server, serve_forever_in_thread
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    out = f"{tmp_path_factory.mktemp('serve')}/idx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9,
+                     build_embeddings=True)
+    b.build(pages_df(spark, 300, partitions=4), fingerprint="serve-test")
+    ctx = ServingContext(spark, out)
+    srv = make_server(ctx, port=0)
+    serve_forever_in_thread(srv)
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", out
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, json.loads(r.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode("utf-8"))
+
+
+def test_health(server):
+    base, _ = server
+    code, body = _get(f"{base}/api/health")
+    assert code == 200
+    assert body["status"] == "ok" and body["document_count"] > 0
+
+
+def test_bm25_mode_matches_engine(spark, server):
+    base, out = server
+    q = make_query_set()[0]["query_text"]
+    code, body = _get(
+        f"{base}/api/search?q={urllib.parse.quote(q)}&mode=bm25&k=5"
+    )
+    assert code == 200
+    assert body["mode"] == "bm25" and body["total"] == 5
+    engine = SearchEngine(spark, out)
+    expected = engine.search(q, k=5, mode="local")
+    got_scores = [round(r["score"], 9) for r in body["results"]]
+    assert got_scores == [round(s, 9) for _, s in expected]
+    r0 = body["results"][0]
+    # reference SearchResult shape
+    assert set(r0) == {"id", "score", "title", "content", "category",
+                       "publisher", "url", "published_at", "highlights"}
+    assert "_" in r0["id"] and len(r0["content"]) <= 500
+
+
+def test_knn_and_hybrid_modes(server):
+    base, _ = server
+    q = make_query_set()[0]["query_text"]
+    code, knn = _get(f"{base}/api/search?q={urllib.parse.quote(q)}&mode=knn&k=5")
+    assert code == 200 and knn["total"] == 5
+    code, hyb = _get(f"{base}/api/search?q={urllib.parse.quote(q)}&k=5")
+    assert code == 200 and hyb["mode"] == "hybrid" and hyb["total"] == 5
+    # hybrid fuses: its top score is the weighted min-max fusion, ≤ 1.0
+    assert 0.0 < hyb["results"][0]["score"] <= 1.0
+
+
+def test_category_filter_returns_k_in_category(server):
+    base, _ = server
+    q = make_query_set()[0]["query_text"]
+    code, body = _get(
+        f"{base}/api/search?q={urllib.parse.quote(q)}&mode=bm25&k=5"
+        f"&category=sports"
+    )
+    assert code == 200
+    assert body["results"], "sports docs must match in 300-doc corpus"
+    assert all(r["category"] == "sports" for r in body["results"])
+
+
+def test_date_filter(server):
+    base, _ = server
+    q = make_query_set()[0]["query_text"]
+    code, body = _get(
+        f"{base}/api/search?q={urllib.parse.quote(q)}&mode=bm25&k=5"
+        f"&date_from=2024-12-05&date_to=2024-12-15"
+    )
+    assert code == 200
+    for r in body["results"]:
+        assert r["published_at"] is not None
+        assert "2024-12-05" <= r["published_at"][:10] <= "2024-12-15"
+
+
+def test_error_paths(server):
+    base, _ = server
+    code, body = _get(f"{base}/api/search?q=")
+    assert code == 400 and body["code"] == 400
+    code, body = _get(f"{base}/api/search?q=x&mode=nope")
+    assert code == 400
+    code, body = _get(f"{base}/api/search?q=x&date_from=garbage")
+    assert code == 400 and "date" in body["error"]
+    code, body = _get(f"{base}/nope")
+    assert code == 404

@@ -638,6 +638,51 @@ class IndexBuilder:
         )
         return result
 
+    def merge_generations(self, fingerprint: str | None = None) -> dict:
+        """Consolidate ALL generations (and pending tombstones) into a
+        single generation 0 — the Lucene segment-merge analog.
+
+        Many small generations cost queries one posting-list row per
+        (gen, shard, term) and one bound-correction factor each; merging
+        restores the single-generation layout and re-packs every posting
+        list with the current global avgdl (bound factors return to 1).
+        At scale this is the periodic maintenance job, run when
+        n_generations or the tombstone count crosses a threshold."""
+        import os
+        import shutil
+        import time as _time
+
+        gens = self.generations()
+        deleted = self.deleted_ids()
+        if len(gens) <= 1 and not deleted:
+            return {"merged_gens": gens, "docs": None}
+        fp = fingerprint or f"merge-{int(_time.time())}"
+        docs = self.spark.read.parquet(self.docs_path)
+        if "gen" in docs.columns:
+            docs = docs.drop("gen")
+        if deleted:
+            del_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(i,) for i in deleted], "doc_id long"
+                )
+            )
+            docs = docs.join(del_df, "doc_id", "left_anti")
+        tmp = f"{self.out}/_merge_tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        for path in (self.docs_path, self.doc_terms_path,
+                     self.postings_path, self.gen_meta_path,
+                     self.deletes_path):
+            shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
+        docs_local = self.docs_path.removeprefix("file:")
+        os.makedirs(docs_local)
+        os.rename(tmp.removeprefix("file:"), f"{docs_local}/gen=0")
+        merged = self.spark.read.parquet(f"{self.docs_path}/gen=0")
+        self._stage_tokenize_from(merged, 0, f"doc_terms.{fp}", fp, {})
+        self._stage_postings(0, f"postings.{fp}", fp, set(), {})
+        self._stage_term_stats(f"term_stats.{fp}", fp, set(), {})
+        return {"merged_gens": gens, "tombstones_applied": len(deleted),
+                "docs": merged.count()}
+
     def generations(self) -> list[int]:
         import os
 

@@ -102,24 +102,149 @@ def ann_knn(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket."""
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
+
+    ``n_probes > 1`` enables MULTIPROBE: besides the query's own bucket,
+    probe the buckets reached by flipping the lowest-|margin| hyperplane
+    bits first (the classic multiprobe-LSH order — a near-boundary sign is
+    the most likely to differ for a true neighbor). Recall rises with
+    bounded extra work: candidates ≈ n_probes · n/2^n_planes."""
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((2 ** j) for j in range(n_planes) if planes[j] @ qv > 0))
-    cand = bucketed.filter(F.col("bucket") == qbucket)
+    margins = planes @ qv
+    qbucket = int(sum((2 ** j) for j in range(n_planes) if margins[j] > 0))
+    probes = [qbucket]
+    if n_probes > 1:
+        order = np.argsort(np.abs(margins))
+        t = min(n_planes, 10)  # subsets of the 10 least-confident bits
+        cand_bits = [int(b) for b in order[:t]]
+        subsets = []
+        for mask in range(1, 2 ** t):
+            bits = [cand_bits[i] for i in range(t) if (mask >> i) & 1]
+            subsets.append((sum(abs(margins[b]) for b in bits), bits))
+        subsets.sort(key=lambda x: x[0])
+        for _, bits in subsets[: n_probes - 1]:
+            probes.append(qbucket ^ sum(2 ** b for b in bits))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_knn(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means(-lite) centroids from a driver-side
+    sample (spherical k-means on L2-normalized vectors, deterministic seed).
+
+    Scale shape: fitting touches only ``sample_rows`` vectors (one sampled
+    collect); assignment and search are distributed. n_cells should be
+    ~sqrt(n) at scale (the FAISS IVF rule of thumb)."""
+    n_total = embeddings.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample = (
+        embeddings.sample(fraction=frac, seed=SEED)
+        .select(vec_col).toPandas()[vec_col].tolist()
+    )
+    mat = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    rng = np.random.default_rng(SEED)
+    n_cells = min(n_cells, len(mat))
+    cent = mat[rng.choice(len(mat), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add the nearest-centroid ``cell`` column (Arrow-batched matmul —
+    one narrow pass, no shuffle; write partitioned by cell for pruning)."""
+    import pandas as pd
+
+    cent = centroids
+    cols = embeddings.columns
+
+    def run(iterator):
+        for pdf in iterator:
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ cent.T
+            out = pdf.copy()
+            out[out_col] = np.argmax(sims, axis=1).astype("int32")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema
+    ) + f", {out_col} int"
+    return embeddings.mapInPandas(run, schema=schema)
+
+
+def ivf_knn(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF search: score only the ``n_probes`` cells whose centroids are
+    nearest the query — candidate work ≈ n_probes/n_cells of the corpus,
+    and a cell-partitioned table turns the filter into partition pruning."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    nq = np.linalg.norm(qv)
+    if nq > 0:
+        qv = qv / nq
+    probe_cells = [int(c) for c in np.argsort(-(centroids @ qv))[:n_probes]]
+    cand = assigned.filter(F.col(cell_col).isin(probe_cells))
     return brute_force_knn(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def pairwise_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_size: int = 2048,
 ) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucket, compare only within buckets."""
+    """Embedding near-dup pairs: LSH-bucket, compare only within buckets.
+
+    Within-bucket comparison is quadratic, so the bucket count must grow
+    with the corpus: ``n_planes=None`` derives it so E[bucket] ≈
+    ``target_bucket_size`` (a fixed 2^6 would be n²/64 pair-work at
+    10^12 docs — see the clustering module for the same treatment)."""
+    if n_planes is None:
+        import math
+
+        n = embeddings.count()
+        n_planes = min(
+            max(int(math.ceil(math.log2(max(n, 1) / target_bucket_size)))
+                if n > target_bucket_size else 1, 1),
+            30,
+        )
     b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col)
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("id1"),

@@ -112,6 +112,46 @@ def test_streaming_available_now(spark, tmp_path):
     )
 
 
+def test_merge_generations(spark, tmp_path):
+    """Segment-merge analog: two generations + a tombstone consolidate to a
+    single generation 0 with rank-identity preserved, the tombstoned doc
+    physically gone, and all bound-correction factors back at 1."""
+    out = str(tmp_path / "merge_idx")
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    b.build(pages_df(spark, 200, partitions=2), fingerprint="m0")
+    b.build_incremental(pages_df(spark, 350, partitions=2), fingerprint="m1")
+    assert b.generations() == [0, 1]
+    engine = SearchEngine(spark, out)
+    q = make_query_set()[0]["query_text"]
+    victim = engine.search(q, k=3)[0][0]
+    b.delete_docs([victim])
+
+    res = b.merge_generations()
+    assert res["merged_gens"] == [0, 1]
+    assert res["tombstones_applied"] == 1
+    assert b.generations() == [0]
+    assert b.deleted_ids() == []
+
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.filter(F.col("doc_id") == victim).isEmpty()
+    assert res["docs"] == docs.count()
+    # gen_meta holds exactly one generation per field, packed at current
+    # avgdl (bound factor 1)
+    gm = spark.read.parquet(f"{out}/gen_meta").collect()
+    assert {r["gen"] for r in gm} == {0}
+
+    fresh = SearchEngine(spark, out)
+    assert fresh._bound_factor == {} or all(
+        v == 1.0 for v in fresh._bound_factor.values()
+    )
+    oracle = _oracle(spark, out)
+    for qq in make_query_set()[:4]:
+        exp = oracle.search(qq["query_text"], k=qq["k"])
+        got = fresh.search(qq["query_text"], k=qq["k"], mode="local")
+        assert _norm(got) == _norm(exp), qq["query_text"]
+        assert all(d != victim for d, _ in got)
+
+
 def test_interrupted_wave_resumes_its_own_gen(spark, tmp_path):
     """An interrupted incremental wave must resume ITS generation number
     even if later waves (other fingerprints) appended more generations."""

@@ -6,6 +6,9 @@ import pytest
 from baram_spark.operators.similarity import (
     ann_knn,
     brute_force_knn,
+    ivf_assign,
+    ivf_fit,
+    ivf_knn,
     pairwise_cosine_dedup,
     random_hyperplane_buckets,
 )
@@ -51,6 +54,63 @@ def test_ann_recall_on_tight_cluster(spark, vectors):
     exact_ids = {r["vec_id"] for r in exact.collect()}
     # near-duplicates of the query share its bucket with high probability
     assert len(ann_ids & exact_ids) >= 7
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, vectors):
+    """Multiprobe must never see FEWER candidates than single-probe, and
+    on this fixture reaches full top-10 recall."""
+    pdf = vectors.toPandas()
+    q = list(pdf["embedding"][1])
+    bucketed = random_hyperplane_buckets(vectors, dim=DIM, n_planes=4)
+    exact_ids = {
+        r["vec_id"] for r in brute_force_knn(vectors, q, k=10).collect()
+    }
+    one = {
+        r["vec_id"]
+        for r in ann_knn(bucketed, q, dim=DIM, k=10, n_planes=4).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in ann_knn(
+            bucketed, q, dim=DIM, k=10, n_planes=4, n_probes=4
+        ).collect()
+    }
+    assert len(multi & exact_ids) >= len(one & exact_ids)
+    assert len(multi & exact_ids) >= 9
+
+
+def test_ivf_end_to_end_recall(spark, vectors):
+    cent = ivf_fit(vectors, dim=DIM, n_cells=8, sample_rows=1000, iters=5)
+    assert cent.shape == (8, DIM)
+    assigned = ivf_assign(vectors, cent)
+    # every vector gets exactly one cell, all cells in range
+    rows = assigned.select("vec_id", "cell").collect()
+    assert len(rows) == 90 and all(0 <= r["cell"] < 8 for r in rows)
+    pdf = vectors.toPandas()
+    q = list(pdf["embedding"][0])
+    exact_ids = {
+        r["vec_id"] for r in brute_force_knn(vectors, q, k=10).collect()
+    }
+    got = ivf_knn(assigned, cent, q, k=10, n_probes=3).collect()
+    ids = {r["vec_id"] for r in got}
+    # the tight planted cluster lives in one cell: probing 3/8 cells must
+    # recover nearly all true neighbors
+    assert len(ids & exact_ids) >= 8
+    # determinism
+    again = {r["vec_id"] for r in ivf_knn(assigned, cent, q, k=10,
+                                          n_probes=3).collect()}
+    assert again == ids
+
+
+def test_pairwise_dedup_adaptive_planes_small_corpus(spark, vectors):
+    # n_planes=None on 90 vectors derives the minimum and still finds only
+    # the planted near-dup pairs
+    pairs = pairwise_cosine_dedup(
+        vectors, threshold=0.98, n_planes=None, dim=DIM
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert r["id1"] < 30 and r["id2"] < 30
 
 
 def test_pairwise_cosine_dedup(spark, vectors):

@@ -326,6 +326,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
 
+    def q_language_id(spark, sf_dir):
+        return text_analysis.language_id(_t(spark, sf_dir, "documents"))
+
+    def q_chunking(spark, sf_dir):
+        # window small enough that sf docs actually produce several chunks
+        from baram_spark.textproc.chunking import chunk_docs
+
+        return chunk_docs(
+            _t(spark, sf_dir, "documents"), max_tokens=16,
+            overlap_tokens=4, min_chunk_tokens=6,
+        ).select("doc_id", "chunk_index", "total_chunks", "chunk_text",
+                 "token_count")
+
     def q_tpch_q1(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -443,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn,
         "hybrid_topk": q_hybrid,
         "token_counts": q_token_counts,
+        "language_id": q_language_id,
+        "chunking": q_chunking,
         "quality_scores": q_quality,
         "fingerprint": q_fingerprint,
         "tpch_q1": q_tpch_q1,
@@ -651,6 +666,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT)
                      AS rank, vec_id, cosine
             FROM scored ORDER BY rank LIMIT 10""",
+        "language_id": """WITH lt AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                sum(CASE WHEN tok IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS s_de,
+                sum(CASE WHEN tok IN ('the','and','of','to','a') THEN 1 ELSE 0 END) AS s_en,
+                sum(CASE WHEN tok IN ('el','la','de','que','y') THEN 1 ELSE 0 END) AS s_es,
+                sum(CASE WHEN tok IN ('이','그','은','는','을') THEN 1 ELSE 0 END) AS s_ko
+              FROM lt GROUP BY doc_id)
+            SELECT doc_id, CASE
+              WHEN greatest(s_de, s_en, s_es, s_ko) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_ko) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_ko) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_ko) THEN 'es'
+              ELSE 'ko' END AS lang_pred
+            FROM hits""",
+        # sliding-window chunking (max=16, overlap=4 → step 12, min_chunk=6);
+        # single-space corpus text ⇒ char-offset slices == token joins
+        "chunking": """WITH toks AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+            single AS (
+              SELECT doc_id, CAST(0 AS INT) AS chunk_index,
+                     CAST(1 AS INT) AS total_chunks, text AS chunk_text,
+                     CAST(n AS INT) AS token_count
+              FROM toks WHERE n <= 16),
+            wins AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(1, CAST(n AS BIGINT), 12)) AS st
+              FROM toks WHERE n > 16),
+            kept AS (
+              SELECT doc_id, st,
+                     array_to_string(t[st:least(st + 15, n)], ' ') AS chunk_text,
+                     least(st + 15, n) - st + 1 AS token_count, n
+              FROM wins
+              WHERE least(st + 15, n) - st + 1 >= 6 OR st + 12 > n)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+                        AS INT) AS chunk_index,
+                   CAST(count(*) OVER (PARTITION BY doc_id) AS INT)
+                     AS total_chunks,
+                   chunk_text, CAST(token_count AS INT) AS token_count
+            FROM kept
+            UNION ALL
+            SELECT doc_id, chunk_index, total_chunks, chunk_text, token_count
+            FROM single""",
         "token_counts": """SELECT doc_id,
                    len(string_split(trim(text), ' ')) AS n_tokens,
                    len(list_filter(string_split_regex(text, '[^a-zA-Z0-9가-힣]+'),

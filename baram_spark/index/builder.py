@@ -458,6 +458,27 @@ class IndexBuilder:
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
         metrics["term_stats_seconds"] = t.seconds
 
+    def _commit_manifest(self) -> None:
+        """Snapshot-atomic commit point (the Iceberg-manifest analog for
+        the parquet layout): a single ``_manifest.json`` swapped via
+        tmp+rename AFTER a generation's postings + stats are complete.
+        Readers that honor the manifest never see a partially-written
+        generation — crash mid-build leaves the previous snapshot live."""
+        import json
+        import os
+        import uuid
+
+        m = {
+            "n_shards": self.n_shards,
+            "generations": self.generations(),
+        }
+        local_dir = self.out.removeprefix("file:")
+        os.makedirs(local_dir, exist_ok=True)
+        tmp = os.path.join(local_dir, f"._manifest.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.rename(tmp, os.path.join(local_dir, "_manifest.json"))
+
     def _write_index_meta(self) -> None:
         """Record structural facts queries need (n_shards re-derives the
         doc→shard mapping for filter-context cogroups)."""
@@ -484,6 +505,7 @@ class IndexBuilder:
         )
         self._stage_postings(0, "postings", fingerprint, done, metrics)
         self._stage_term_stats("term_stats", fingerprint, done, metrics)
+        self._commit_manifest()
         return metrics
 
     def build_incremental(self, pages: DataFrame, fingerprint: str,
@@ -534,9 +556,11 @@ class IndexBuilder:
                 ignore_errors=True,
             )
             metrics["postings_built"] = 0
+            self._commit_manifest()
             return metrics
         self._stage_postings(gen, stage("postings"), fingerprint, done, metrics)
         self._stage_term_stats(stage("term_stats"), fingerprint, done, metrics)
+        self._commit_manifest()
         return metrics
 
     # -- deletion (delete_by_query analog, mod.rs:768-818) -----------------
@@ -636,6 +660,7 @@ class IndexBuilder:
         shutil.rmtree(
             self.deletes_path.removeprefix("file:"), ignore_errors=True
         )
+        self._commit_manifest()
         return result
 
     def merge_generations(self, fingerprint: str | None = None) -> dict:
@@ -680,6 +705,7 @@ class IndexBuilder:
         self._stage_tokenize_from(merged, 0, f"doc_terms.{fp}", fp, {})
         self._stage_postings(0, f"postings.{fp}", fp, set(), {})
         self._stage_term_stats(f"term_stats.{fp}", fp, set(), {})
+        self._commit_manifest()
         return {"merged_gens": gens, "tombstones_applied": len(deleted),
                 "docs": merged.count()}
 

@@ -43,11 +43,21 @@ class SearchEngine:
         the cluster mode: parquet-pruned lookups + per-shard scoring."""
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
+        # snapshot isolation: when the builder's _manifest.json exists, read
+        # ONLY the committed generations — a crashed/in-flight build's
+        # partial gen dirs are invisible (the Iceberg-manifest analog).
+        self._committed = self._committed_gens()
         self.corpus_stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
             for r in spark.read.parquet(f"{self.index_dir}/corpus_stats").collect()
         }
-        self._postings = spark.read.parquet(f"{self.index_dir}/postings")
+        post_dir = f"{self.index_dir}/postings"
+        if self._committed:
+            self._postings = spark.read.option("basePath", post_dir).parquet(
+                *[f"{post_dir}/gen={g}" for g in self._committed]
+            )
+        else:
+            self._postings = spark.read.parquet(post_dir)
         self._term_stats = spark.read.parquet(f"{self.index_dir}/term_stats")
         self._has_gens = "gen" in self._postings.columns
         # block-max bound correction per (gen, field): avgdl_now/avgdl_pack
@@ -85,6 +95,32 @@ class SearchEngine:
                 )
 
     # ------------------------------------------------------------------
+    def _committed_gens(self) -> list[int] | None:
+        """Generations listed by the builder's snapshot manifest, or None
+        when the index predates manifests (fall back to directory listing)."""
+        import json
+        import os
+
+        p = os.path.join(
+            self.index_dir.removeprefix("file:"), "_manifest.json"
+        )
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                gens = json.load(f).get("generations")
+            return sorted(int(g) for g in gens) if gens else None
+        except Exception:
+            return None
+
+    def _docs(self) -> DataFrame:
+        d = f"{self.index_dir}/docs"
+        if self._committed:
+            return self.spark.read.option("basePath", d).parquet(
+                *[f"{d}/gen={g}" for g in self._committed]
+            )
+        return self.spark.read.parquet(d)
+
     def _detect_n_shards(self) -> int:
         """n_shards from index_meta (written by the builder), falling back
         to listing the postings shard directories."""
@@ -131,7 +167,7 @@ class SearchEngine:
             return None
         from ..index.build import shard_expr
 
-        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        docs = self._docs()
         cond = F.lit(True)
         if category is not None:
             cond = cond & (F.col("category") == category)
@@ -193,6 +229,8 @@ class SearchEngine:
         filt = ds.field("term").isin(terms) & ds.field("field").isin(
             list(FIELDS)
         )
+        if self._committed and "gen" in names:
+            filt = filt & ds.field("gen").isin(self._committed)
         cols = ["field", "term", "df", "postings", "skips", "blockmax"]
         cols += [c for c in ("gen", "shard") if c in names]
         tbl = self._pa_ds.to_table(filter=filt, columns=cols)
@@ -426,7 +464,7 @@ class SearchEngine:
             [(d, s, r) for r, (d, s) in enumerate(hits, 1)],
             "doc_id long, score double, rank int",
         )
-        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        docs = self._docs()
         out = docs.join(F.broadcast(hits_df), "doc_id").select(
             "rank", "doc_id", "score", "title", "url", "category",
             "publisher", "published_at", "text",

@@ -63,9 +63,15 @@ class ServingContext:
         local = index_dir.rstrip("/").removeprefix("file:")
         cols = ["doc_id", "oid", "aid", "title", "text", "category",
                 "publisher", "url", "published_at"]
-        docs = ds.dataset(
+        committed = self.engine._committed  # snapshot manifest, if present
+        docs_ds = ds.dataset(
             f"{local}/docs", format="parquet", partitioning="hive"
-        ).to_table(columns=cols).to_pydict()
+        )
+        gen_filter = (
+            ds.field("gen").isin(committed)
+            if committed and "gen" in docs_ds.schema.names else None
+        )
+        docs = docs_ds.to_table(columns=cols, filter=gen_filter).to_pydict()
         self.meta: dict[int, dict] = {}
         for i in range(len(docs["doc_id"])):
             self.meta[int(docs["doc_id"][i])] = {

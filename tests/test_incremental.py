@@ -112,6 +112,58 @@ def test_streaming_available_now(spark, tmp_path):
     )
 
 
+def test_manifest_snapshot_isolation(spark, tmp_path):
+    """A crashed in-flight build (partial gen dirs, garbage files) must be
+    invisible to readers: the manifest pins the committed snapshot."""
+    import json
+    import os
+
+    out = str(tmp_path / "snap_idx")
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    b.build(pages_df(spark, 150, partitions=2), fingerprint="snap")
+    with open(f"{out}/_manifest.json") as f:
+        assert json.load(f)["generations"] == [0]
+    engine = SearchEngine(spark, out)
+    q = make_query_set()[0]["query_text"]
+    before_local = engine.search(q, k=10, mode="local")
+    before_dist = engine.search(q, k=10, mode="distributed")
+    assert before_local and before_local == before_dist
+
+    # simulate a crash mid-build of generation 1: partial docs + a garbage
+    # postings file, manifest NOT updated
+    os.makedirs(f"{out}/postings/gen=1/shard=0", exist_ok=True)
+    with open(f"{out}/postings/gen=1/shard=0/part-junk.parquet", "wb") as f:
+        f.write(b"this is not a parquet file")
+    os.makedirs(f"{out}/docs/gen=1", exist_ok=True)
+    with open(f"{out}/docs/gen=1/part-junk.parquet", "wb") as f:
+        f.write(b"garbage")
+
+    fresh = SearchEngine(spark, out)
+    assert fresh._committed == [0]
+    assert fresh.search(q, k=10, mode="local") == before_local
+    assert fresh.search(q, k=10, mode="distributed") == before_dist
+    # filtered path reads docs through the manifest too (must not touch
+    # the garbage gen-1 docs file)
+    filtered = fresh.search(q, k=5, category="sports", mode="local")
+    assert all(isinstance(d, int) for d, _ in filtered)
+    rows = fresh.search_df(q, k=3, include_highlights=False).collect()
+    assert len(rows) == 3
+
+    # committing generation 1 for real makes it visible again
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    import shutil
+
+    shutil.rmtree(f"{out}/postings/gen=1")
+    shutil.rmtree(f"{out}/docs/gen=1")
+    b2.build_incremental(pages_df(spark, 260, partitions=2),
+                         fingerprint="snap2")
+    with open(f"{out}/_manifest.json") as f:
+        assert json.load(f)["generations"] == [0, 1]
+    after = SearchEngine(spark, out)
+    assert after._committed == [0, 1]
+    assert after.search(q, k=10, mode="local")
+
+
 def test_merge_generations(spark, tmp_path):
     """Segment-merge analog: two generations + a tombstone consolidate to a
     single generation 0 with rank-identity preserved, the tombstoned doc

@@ -75,10 +75,12 @@ def _corpus_stats(spark, sf_dir):
     )
 
 
-def _bm25_topk(spark, sf_dir, k: int = 10):
-    # ONE tokenize pass: tf is the only child of the exploded tokens; dl
-    # (Σ tf per doc), corpus stats and df all derive from the much smaller
-    # tf relation, which is cached so its 3 consumers don't re-tokenize.
+def _bm25_scores(spark, sf_dir):
+    """Full (doc_id, score) BM25 relation — no ordering, no limit.
+
+    ONE tokenize pass: tf is the only child of the exploded tokens; dl
+    (Σ tf per doc), corpus stats and df all derive from the much smaller
+    tf relation, which is cached so its 3 consumers don't re-tokenize."""
     toks = _doc_tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -105,9 +107,14 @@ def _bm25_topk(spark, sf_dir, k: int = 10):
             ),
         )
     )
+    return contrib.groupBy("doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score")
+    )
+
+
+def _bm25_topk(spark, sf_dir, k: int = 10):
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -117,12 +124,12 @@ def _bm25_topk_filtered(spark, sf_dir, k: int = 10):
     """Filter-context BM25 (the engine's category/date semantics on the
     SQL-checkable demo path): candidates restricted to lang='en' docs, but
     df/avgdl stay full-corpus — scores identical to the unfiltered query."""
-    scored = _bm25_topk(spark, sf_dir, k=10**9)  # full ranking, no limit
     allowed = _t(spark, sf_dir, "documents").filter(
         F.col("lang") == "en"
     ).select("doc_id")
     return (
-        scored.join(F.broadcast(allowed), "doc_id", "left_semi")
+        _bm25_scores(spark, sf_dir)
+        .join(F.broadcast(allowed), "doc_id", "left_semi")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 from baram_spark.sources.urls import extract_urls, extract_urls_df, normalize_url
 
 
@@ -52,6 +54,7 @@ def test_multimodal_features(spark):
     )
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
     assert feats[1]["ok"] and len(feats[1]["feat"]) == 32
+    assert not feats[1]["decoded"]  # fake PNG → stub tier
     assert feats[1]["sha256"] == hashlib.sha256(b"\x89PNGfake").hexdigest()
     assert feats[4]["n_bytes"] == 0  # null payload handled
 
@@ -63,3 +66,115 @@ def test_multimodal_features(spark):
     assert f0["frame_sha"] == hashlib.sha256(
         b"\x00\x00ftypfake" + (0).to_bytes(4, "little")
     ).hexdigest()
+
+
+def _make_bmp(px):
+    """Minimal 24-bit BMP encoder (bottom-up, BGR, 4-byte row padding)."""
+    import struct
+
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for x in range(w):
+            r, g, b = px[y, x]
+            line += bytes([b, g, r])
+        line += b"\x00" * (row - len(line))
+        data += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835,
+                    2835, 0, 0)
+    return bytes(header) + bytes(data)
+
+
+def _make_ppm(px):
+    h, w = px.shape[:2]
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _make_wav(samples, rate=16000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_decoders_roundtrip():
+    import numpy as np
+
+    from baram_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        decode_image,
+        image_features,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (decode_image(_make_bmp(px)) == px).all()
+    assert (decode_image(_make_ppm(px)) == px).all()
+
+    t = np.linspace(0, 1, 16000)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_audio(_make_wav(sig))
+    assert rate == 16000 and len(samples) == 16000
+    assert abs(float(np.max(samples)) - 0.5) < 0.01
+
+    # resize: exact nearest-neighbor identity at same size, right shape else
+    assert (resize_image(px, 7, 5) == px).all()
+    assert resize_image(px, 3, 2).shape == (2, 3, 3)
+
+    # features: real histogram / rms energy
+    f = image_features(px, 32)
+    assert f.shape == (32,) and abs(float(f.sum()) - 1.0) < 1e-6
+    a = audio_features(samples, 32)
+    assert a.shape == (32,) and 0.3 < float(a.mean()) < 0.4  # rms of 0.5-sine
+
+
+def test_multimodal_real_decode_in_pipeline(spark):
+    import numpy as np
+
+    from baram_spark.operators.multimodal import (
+        extract_features,
+        image_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    sig = 0.3 * np.sin(np.linspace(0, 60, 8000))
+    rows = [
+        (1, "image", _make_bmp(px), "image/bmp", 6, 6, None),
+        (2, "image", _make_ppm(px), "image/x-portable-pixmap", 6, 6, None),
+        (3, "audio", _make_wav(sig), "audio/wav", None, None, 500),
+        (4, "image", b"\x89PNGcompressed", "image/png", 2, 2, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["decoded"] and feats[2]["decoded"] and feats[3]["decoded"]
+    assert not feats[4]["decoded"]  # PNG → stub tier, still ok
+    assert feats[4]["ok"]
+    # BMP and PPM carry the same pixels → identical real features
+    assert feats[1]["feat"] == feats[2]["feat"]
+    expected = image_features(px, 32).tolist()
+    assert feats[1]["feat"] == pytest.approx(expected)
+
+    resized = {r["media_id"]: r for r in resize_images(media, 3, 3).collect()}
+    assert resized[1]["decoded"] and len(bytes(resized[1]["pixels"])) == 27
+    assert bytes(resized[1]["pixels"]) == bytes(resized[2]["pixels"])
+    assert not resized[4]["decoded"] and resized[4]["pixels"] is None

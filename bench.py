@@ -37,14 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # operator queries timed against the sf tables (collect-safe or noop-sunk)
 OPERATOR_QUERIES = [
-    "bm25_topk", "doc_tf", "term_df", "moving_average", "trend_slope",
-    "spike_zscore", "minmax_normalize", "top_trending", "dedup_exact",
-    "minhash_signatures", "simhash", "knn_cosine", "token_counts",
-    "quality_scores", "fingerprint", "tpch_q1", "tpch_q3",
-    "anti_join_dedup", "json_extract",
+    "bm25_topk", "bm25_topk_filtered", "doc_tf", "term_df", "moving_average",
+    "trend_slope", "spike_zscore", "minmax_normalize", "top_trending",
+    "dedup_exact", "minhash_signatures", "simhash", "knn_cosine",
+    "token_counts", "quality_scores", "fingerprint", "language_id",
+    "chunking", "tpch_q1", "tpch_q3", "anti_join_dedup", "json_extract",
 ]
-SMALL_RESULT = {"bm25_topk", "top_trending", "knn_cosine", "tpch_q1", "tpch_q3",
-                "trend_slope", "corpus_stats"}
+SMALL_RESULT = {"bm25_topk", "bm25_topk_filtered", "top_trending",
+                "knn_cosine", "tpch_q1", "tpch_q3", "trend_slope",
+                "corpus_stats"}
 
 
 def main() -> None:

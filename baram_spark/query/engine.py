@@ -40,7 +40,12 @@ class SearchEngine:
         """``preload=True`` pins term stats + posting blobs in driver memory
         (the 'open index' serving mode — an OpenSearch node keeps exactly
         this resident); queries then run with zero Spark jobs. Default is
-        the cluster mode: parquet-pruned lookups + per-shard scoring."""
+        the cluster mode: parquet-pruned lookups + per-shard scoring.
+
+        The engine reads the snapshot that was committed when it was
+        created; call :meth:`refresh` (the OpenSearch refresh analog) to
+        pick up generations committed since."""
+        self._preload = preload
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
         # snapshot isolation: when the builder's _manifest.json exists, read
@@ -93,6 +98,14 @@ class SearchEngine:
                     (int(r["shard"]), bytes(r["postings"]), bytes(r["skips"]),
                      bytes(r["blockmax"]), gen)
                 )
+
+    def refresh(self) -> "SearchEngine":
+        """Re-open the index at the latest committed snapshot (new
+        generations, deletions, compactions become visible) — the S11
+        'refresh' analog. Re-runs __init__ in place; cached file listings,
+        preloaded blobs, and the pyarrow dataset are all rebuilt."""
+        self.__init__(self.spark, self.index_dir, preload=self._preload)
+        return self
 
     # ------------------------------------------------------------------
     def _committed_gens(self) -> list[int] | None:

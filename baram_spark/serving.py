@@ -97,6 +97,11 @@ class ServingContext:
             keep = np.array([i not in denied for i in ids.tolist()])
             self.emb_ids, self.emb = ids[keep], mat[keep]
 
+    def refresh(self) -> None:
+        """Re-open at the latest committed snapshot (OpenSearch _refresh
+        analog): new generations/deletions become searchable in place."""
+        self.__init__(self.engine.spark, self.engine.index_dir, dim=self.dim)
+
     # -- candidate filter (driver-side: metadata already resident) --------
     def _allowed(self, category, date_from, date_to):
         if category is None and date_from is None and date_to is None:
@@ -218,6 +223,10 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
             try:
                 if u.path == "/api/health":
                     self._send(200, ctx.health())
+                elif u.path == "/api/refresh":
+                    ctx.refresh()
+                    self._send(200, {"refreshed": True,
+                                     "document_count": len(ctx.meta)})
                 elif u.path == "/api/search":
                     q = (qs.get("q") or "").strip()
                     if not q:

@@ -98,6 +98,29 @@ def test_date_filter(server):
         assert "2024-12-05" <= r["published_at"][:10] <= "2024-12-15"
 
 
+def test_refresh_picks_up_new_generation(spark, server):
+    """POST-build docs become searchable after /api/refresh (the
+    OpenSearch _refresh analog) without restarting the node."""
+    base, out = server
+    code, before = _get(f"{base}/api/health")
+    n_before = before["document_count"]
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9,
+                     build_embeddings=True)
+    b.build_incremental(pages_df(spark, 380, partitions=4),
+                        fingerprint="serve-wave2")
+    # not visible yet (snapshot pinned at node start)
+    code, mid = _get(f"{base}/api/health")
+    assert mid["document_count"] == n_before
+    code, r = _get(f"{base}/api/refresh")
+    assert code == 200 and r["refreshed"]
+    assert r["document_count"] > n_before
+    q = make_query_set()[0]["query_text"]
+    code, body = _get(
+        f"{base}/api/search?q={urllib.parse.quote(q)}&mode=bm25&k=5"
+    )
+    assert code == 200 and body["total"] == 5
+
+
 def test_error_paths(server):
     base, _ = server
     code, body = _get(f"{base}/api/search?q=")

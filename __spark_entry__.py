@@ -438,6 +438,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def q_tpch_q5(spark, sf_dir):
+        # local-supplier volume: 6-way join, small dims broadcast, one
+        # shuffle-agg on n_name (the classic star-join plan)
+        region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        nation = _t(spark, sf_dir, "nation")
+        cust = _t(spark, sf_dir, "customer")
+        supp = _t(spark, sf_dir, "supplier")
+        orders = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
+
+    def q_tpch_q18(spark, sf_dir):
+        # large-volume customers: HAVING over a shuffle-agg, then joins
+        big = (
+            _t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 300)
+        )
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        return (
+            big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                "c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").alias("orderdate"),
+                "o_totalprice",
+                F.round("sum_qty", 6).alias("sum_qty"),
+            )
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100)
+        )
+
     return {
         "doc_tf": q_doc_tf,
         "term_df": q_term_df,
@@ -469,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
     }
 
 
@@ -755,4 +809,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderkey
             ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+        "tpch_q5": """SELECT n_name,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC""",
+        "tpch_q18": """SELECT c_name, c_custkey, o_orderkey,
+                   o_orderdate AS orderdate, o_totalprice,
+                   ROUND(sum_qty, 6) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 300) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
     }

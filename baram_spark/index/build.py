@@ -371,19 +371,60 @@ def build_postings(
     salt_plan: dict,
     codec: int = CODEC_VARINT,
     out_partitions: int | None = None,
+    row_shuffle: bool = False,
 ) -> DataFrame:
-    """doc_terms (WITH shard column) → packed postings (salting + merge).
+    """doc_terms (WITH shard column) → packed postings.
 
-    Group key is (shard, field, term[, salt]) so one job can build any
-    subset of shards; output keeps ``shard`` for partitionBy writes.
+    Two physical strategies, identical output (byte-identical blobs,
+    asserted in tests):
 
-    ``out_partitions`` folds the writer's layout into the LAST shuffle here
-    (2 exchanges salted, 1 unsalted — there is no separate write
-    repartition): the final stage is partitioned on (shard, term) and
-    row-sorted on (field, term), which is exactly what the writer wants
-    (few files per shard, row-group min/max term pruning)."""
+    Measured on this sandbox (30M postings, local[8]/local[32], best-of-2
+    interleaved): rows 23.9 s / 18.8 s, blob 36.4 s / 22.4 s — blob SCALES
+    better (1.63× vs 1.27×) and ships ~10× fewer shuffle bytes, but pays a
+    per-partial decode/re-encode CPU cost that local-disk shuffle doesn't
+    recoup. On a real multi-executor cluster the shuffle crosses the
+    network, flipping the tradeoff toward blob; the builder default stays
+    "rows" for single-box benches.
+
+    **Blob shuffle (``row_shuffle=False``)** — map-side packing:
+    each input partition locally sorts its rows and packs every
+    (shard, field, term) run into a PARTIAL posting blob, then ONE
+    blob-level exchange keyed (shard, term) ordered-concat-merges each
+    term's partials. The shuffle moves ~3 bytes/posting instead of
+    ~40-byte rows (the classic inverted-index combiner) — an order of
+    magnitude less shuffle I/O, and Zipf-head terms arrive at their
+    reducer pre-compacted so no reducer ever receives a heavy term as
+    rows. The bound that remains is the merge task materializing one
+    term's full postings (~3 bytes each).
+
+    **Row shuffle (``row_shuffle=True``)** — rows are hash-partitioned on
+    (shard, field, term, salt) with Zipf-head terms salted across k
+    reducers, packed post-shuffle, and salted partials blob-merged in a
+    second exchange. Strictly bounds per-reducer ROW volume too — the
+    regime for extreme skew where even a packed hot-term blob would blow a
+    task (term in ~every doc at 10^12 scale).
+
+    ``out_partitions`` folds the writer's layout into the LAST shuffle
+    (no separate write repartition): the final stage is partitioned on
+    (shard, term) and row-sorted on (field, term), which is exactly what
+    the writer wants (few files per shard, row-group min/max pruning)."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     out_parts = out_partitions or n_parts
+    if not row_shuffle:
+        # map-side pack: local sort (no exchange), pack runs per input
+        # partition, then the single blob-level merge exchange.
+        partial = (
+            doc_terms.withColumn("salt", F.lit(0).cast("int"))
+            .sortWithinPartitions("shard", "field", "term", "salt", "doc_id")
+            .mapInPandas(_pack_partition(avgdl_by_field, codec),
+                         schema=POSTINGS_SCHEMA_SPARK)
+        )
+        return (
+            partial.repartition(out_parts, "shard", "term")
+            .sortWithinPartitions("shard", "field", "term", "salt")
+            .mapInPandas(_merge_partition(avgdl_by_field, codec),
+                         schema=POSTINGS_SCHEMA_SPARK)
+        )
     if salt_plan:
         plan_pdf = pd.DataFrame(
             [(f, t, k) for (f, t), k in salt_plan.items()],

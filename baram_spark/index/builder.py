@@ -63,6 +63,7 @@ class IndexBuilder:
         shards_per_job: int | None = None,
         build_embeddings: bool = False,
         embed_fn=None,
+        shuffle_mode: str = "rows",
     ):
         self.spark = spark
         self.out = out_dir.rstrip("/")
@@ -75,6 +76,13 @@ class IndexBuilder:
         # model swap point (see query.hybrid.embed_docs).
         self.build_embeddings = build_embeddings
         self.embed_fn = embed_fn
+        # "rows" (default) = salted row shuffle + blob merge — fastest on
+        # single-box local-disk shuffle (this bench). "blob" = map-side
+        # packing + ONE blob-level exchange moving ~3 bytes/posting — the
+        # strategy for real clusters where shuffle crosses the network.
+        # Identical output either way (byte-identity asserted in tests);
+        # see build.build_postings for the measured tradeoff.
+        self.shuffle_mode = shuffle_mode
         # fresh builds: few big jobs (full parallelism); resume rebuilds are
         # naturally small. Default: half the shards per job.
         self.shards_per_job = shards_per_job or max(n_shards // 2, 1)
@@ -204,7 +212,9 @@ class IndexBuilder:
                     except Exception as e:
                         errs.append(e)
 
-                tasks = [write_docs, write_terms, plan_salts_task]
+                tasks = [write_docs, write_terms]
+                if self.shuffle_mode == "rows":
+                    tasks.append(plan_salts_task)
                 if not emb_done:
                     tasks.append(write_embeddings)
                 with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
@@ -364,9 +374,12 @@ class IndexBuilder:
             r["field"]: float(r["avgdl"])
             for r in self.spark.read.parquet(self.corpus_stats_path).collect()
         }
-        salt_plan = self._salt_plans.pop(gen, None)
-        if salt_plan is None:
-            salt_plan = self._salt_plan(gen)
+        if self.shuffle_mode == "rows":
+            salt_plan = self._salt_plans.pop(gen, None)
+            if salt_plan is None:
+                salt_plan = self._salt_plan(gen)
+        else:
+            salt_plan = {}
         todo = [
             k for k in range(self.n_shards)
             if (stage_prefix, k) not in done
@@ -397,6 +410,7 @@ class IndexBuilder:
             postings = build_postings(
                 self.spark, shard_terms, avgdl_by_field, salt_plan,
                 codec=self.codec, out_partitions=4 * len(shard_ids),
+                row_shuffle=(self.shuffle_mode == "rows"),
             )
             obs = Observation(f"postings-{gen}-{shard_ids[0]}")
             (

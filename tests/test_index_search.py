@@ -197,13 +197,27 @@ def test_filtered_search_returns_k_in_category(spark, index_dir):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
 
 
-def test_salting_was_exercised(spark, index_dir):
-    """With salt_threshold=100 the Zipf head terms must have been salted —
-    verify heavy terms exist and their merged postings match their df."""
-    ts = spark.read.parquet(f"{index_dir}/term_stats")
+def test_salting_was_exercised(spark, index_dir, work_dir):
+    """Rows mode with salt_threshold=100 must salt the Zipf head terms —
+    verify heavy terms exist, no duplicate rows leak, and the rows-mode
+    index ranks identically to the default blob-mode index fixture."""
+    out2 = f"{work_dir}/idx_rows"
+    rows_builder = IndexBuilder(
+        spark, out2, n_shards=4, salt_threshold=100, shard_concurrency=2,
+        shuffle_mode="rows",
+    )
+    rows_builder.build(pages_df(spark, N_DOCS, partitions=8),
+                       fingerprint=f"{FP}-rows")
+    e1 = SearchEngine(spark, index_dir)
+    e2 = SearchEngine(spark, out2)
+    for q in make_query_set()[:4]:
+        assert _norm(e1.search(q["query_text"], k=10, mode="local")) == _norm(
+            e2.search(q["query_text"], k=10, mode="local")
+        )
+    ts = spark.read.parquet(f"{out2}/term_stats")
     heavy = ts.filter(F.col("df") > 100).count()
     assert heavy > 0, "corpus should have Zipf-head terms above threshold"
-    post = spark.read.parquet(f"{index_dir}/postings")
+    post = spark.read.parquet(f"{out2}/postings")
     # one merged row per (field, term) per shard — salting never leaks
     # duplicate rows into the final index
     dup = (

@@ -40,7 +40,9 @@ def doc_terms(spark):
     return tokenize_docs(docs).withColumn("shard", shard_expr(4))
 
 
-def test_unsalted_postings_is_one_shuffle(spark, doc_terms):
+def test_blob_mode_postings_is_one_shuffle(spark, doc_terms):
+    """Default strategy: map-side packing means the ONLY exchange is the
+    blob-level merge — regardless of skew (no salt machinery needed)."""
     out = build_postings(
         spark, doc_terms, {"title": 5.0, "content": 130.0}, salt_plan={},
         out_partitions=8,
@@ -48,15 +50,47 @@ def test_unsalted_postings_is_one_shuffle(spark, doc_terms):
     assert _n_shuffles(out) == 1, _plan(out, "simple")
 
 
-def test_salted_postings_is_two_shuffles_plus_broadcast(spark, doc_terms):
+def test_rows_unsalted_postings_is_one_shuffle(spark, doc_terms):
+    out = build_postings(
+        spark, doc_terms, {"title": 5.0, "content": 130.0}, salt_plan={},
+        out_partitions=8, row_shuffle=True,
+    )
+    assert _n_shuffles(out) == 1, _plan(out, "simple")
+
+
+def test_rows_salted_postings_is_two_shuffles_plus_broadcast(spark, doc_terms):
     out = build_postings(
         spark, doc_terms, {"title": 5.0, "content": 130.0},
-        salt_plan={("content", "the"): 4}, out_partitions=8,
+        salt_plan={("content", "the"): 4}, out_partitions=8, row_shuffle=True,
     )
     assert _n_shuffles(out) == 2, _plan(out, "simple")
     plan = _plan(out, "simple")
     # the salt plan joins broadcast, never shuffled
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_blob_and_row_strategies_byte_identical(spark, doc_terms):
+    """The two physical strategies must produce the SAME index: one row per
+    (shard, field, term), identical df and identical packed bytes."""
+    avgdl = {"title": 5.0, "content": 130.0}
+    blob = build_postings(spark, doc_terms, avgdl, salt_plan={},
+                          out_partitions=4).collect()
+    rows = build_postings(spark, doc_terms, avgdl,
+                          salt_plan={("content", "the"): 4},
+                          out_partitions=4, row_shuffle=True).collect()
+
+    def key(rs):
+        return {
+            (r["shard"], r["field"], r["term"]): (
+                r["df"], bytes(r["postings"]), bytes(r["skips"]),
+                bytes(r["blockmax"]),
+            )
+            for r in rs
+        }
+
+    kb, kr = key(blob), key(rows)
+    assert len(kb) == len(blob) and len(kr) == len(rows)  # no dup terms
+    assert kb == kr
 
 
 def test_postings_lookup_pushes_term_filter(spark, tmp_path):

@@ -330,6 +330,60 @@ _COUNT_BYTES = [b""] + [
 ]
 
 
+def decode_many(blobs, skips_blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode MANY varint posting blobs in ONE vectorized pass.
+
+    The merge side of ``encode_many``: terminated LEB128 streams concatenate
+    cleanly, so every blob's payload joins one ``varint_decode`` call and
+    per-block delta/tf/dl segments are separated with global index
+    arithmetic — no per-blob or per-block Python loops over values (the
+    blob-shuffle merge decodes millions of small partials; per-call
+    overhead is the entire cost at that shape).
+
+    Returns ``(doc_ids, tfs, dls, dfs)``: the concatenated postings of every
+    blob in input order plus the per-blob posting count. Raises ValueError
+    for any non-varint blob (callers fall back to decode_postings)."""
+    n_blobs = len(blobs)
+    e = np.zeros(0, dtype=np.int64)
+    if n_blobs == 0:
+        return e, e.copy(), e.copy(), e.copy()
+    counts_l = []
+    dfs = np.empty(n_blobs, dtype=np.int64)
+    for i, sk in enumerate(skips_blobs):
+        arr = np.frombuffer(sk, dtype=np.int64)
+        nb = int(arr[0])
+        c = arr[1 + 2 * nb : 1 + 3 * nb]
+        counts_l.append(c)
+        dfs[i] = int(c.sum())
+    payloads = []
+    for bl in blobs:
+        if bl[0] != CODEC_VARINT:
+            raise ValueError("decode_many handles the varint codec only")
+        payloads.append(np.frombuffer(bl, dtype=np.uint8)[1:])
+    vals = varint_decode(np.concatenate(payloads))
+
+    C = np.concatenate(counts_l).astype(np.int64)  # all blocks, stream order
+    total = int(C.sum())
+    # value-stream layout per block: [1 count][C deltas][C tfs][C dls]
+    seg = 1 + 3 * C
+    S = np.concatenate(([0], np.cumsum(seg)[:-1]))  # block starts in vals
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(C) - C, C
+    )
+    base = np.repeat(S + 1, C)
+    creps = np.repeat(C, C)
+    deltas = vals[base + within]
+    tfs = vals[base + creps + within].astype(np.int64)
+    dls = vals[base + 2 * creps + within].astype(np.int64)
+
+    # segmented cumsum: delta chains reset at each BLOB boundary
+    g = np.cumsum(deltas.astype(np.int64))
+    first = np.cumsum(dfs) - dfs  # first posting index of each blob
+    offset = np.repeat(g[first] - deltas[first].astype(np.int64), dfs)
+    doc_ids = g - offset - 1
+    return doc_ids, tfs, dls, dfs
+
+
 def encode_many(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

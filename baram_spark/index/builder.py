@@ -212,7 +212,16 @@ class IndexBuilder:
                     except Exception as e:
                         errs.append(e)
 
-                tasks = [write_docs, write_terms]
+                # PHASE 1: the tokenize job alone — it materializes the
+                # persisted extraction at FULL python-worker parallelism.
+                # Running the heavy python stages concurrently would spawn
+                # n_jobs × n_cores python workers (3× core oversubscription
+                # at local[32] — measured as a hard wall-time floor).
+                write_terms()
+                # PHASE 2: the remaining consumers read the cache — docs
+                # write is JVM-only parquet IO, the salt sample tokenizes
+                # 5%, embeddings hash cached rows; these overlap cheaply.
+                tasks = [write_docs]
                 if self.shuffle_mode == "rows":
                     tasks.append(plan_salts_task)
                 if not emb_done:

@@ -161,7 +161,11 @@ def main(argv: list[str] | None = None) -> int:
             "generations": gens,
             "posting_lists": post.count(),
             "postings": int(post.agg(F.sum("df")).collect()[0][0] or 0),
-            "terms": spark.read.parquet(f"{idx}/term_stats").count(),
+            "terms": spark.read.parquet(
+                IndexBuilder(spark, idx)._latest_stats_dir(
+                    f"{idx}/term_stats"
+                )
+            ).count(),
         }
         import os
 

@@ -129,6 +129,38 @@ class IndexBuilder:
 
         return os.path.exists(path.removeprefix("file:"))
 
+    # -- versioned stats (MVCC for the small global tables) ---------------
+    # corpus_stats / gen_meta / term_stats are rewritten by every build;
+    # writing IN PLACE would yank files from under a reader pinned to the
+    # previous snapshot. Writers instead create a fresh `v_K` subdir and
+    # the manifest records the committed K per table (readers resolve
+    # through it; see SearchEngine._stats_path). `v_` (not `v=`) so Spark
+    # never treats versions as partitions of one table.
+    @staticmethod
+    def _latest_version(base: str) -> int | None:
+        import os
+        import re
+
+        local = base.removeprefix("file:")
+        if not os.path.exists(local):
+            return None
+        vs = [
+            int(m.group(1))
+            for d in os.listdir(local)
+            if (m := re.match(r"v_(\d+)$", d))
+        ]
+        return max(vs) if vs else None
+
+    def _latest_stats_dir(self, base: str) -> str:
+        """Read side (builder-internal): newest version, else the bare dir
+        (pre-versioning layout)."""
+        v = self._latest_version(base)
+        return f"{base}/v_{v}" if v is not None else base
+
+    def _next_stats_dir(self, base: str) -> str:
+        v = self._latest_version(base)
+        return f"{base}/v_{(v or 0) + 1}"
+
     # -- stage helpers ----------------------------------------------------
     def _stage_extract_tokenize(self, pages, gen, stage_docs, stage_terms,
                                 fingerprint, done, metrics):
@@ -289,8 +321,9 @@ class IndexBuilder:
     def _update_stats(self, gen: int, gen_rows: list[tuple]) -> None:
         """Fold this generation into global corpus_stats + gen_meta."""
         prior: dict[tuple[int, str], tuple[int, int, float]] = {}
-        if self._exists(self.gen_meta_path):
-            for r in self.spark.read.parquet(self.gen_meta_path).collect():
+        gm_read = self._latest_stats_dir(self.gen_meta_path)
+        if self._exists(gm_read):
+            for r in self.spark.read.parquet(gm_read).collect():
                 if r["gen"] != gen:
                     prior[(r["gen"], r["field"])] = (
                         r["n_docs"], r["dl_sum"], r["avgdl_pack"]
@@ -315,7 +348,7 @@ class IndexBuilder:
             (g, f, n, dl, p) for (g, f), (n, dl, p) in prior.items()
         ] + [(gen, f, n, dl, avgdl_now[f]) for g, f, n, dl in gen_rows]
         write_small_parquet(
-            self.gen_meta_path,
+            self._next_stats_dir(self.gen_meta_path),
             pa.table(
                 {
                     "gen": pa.array([r[0] for r in meta_rows], pa.int32()),
@@ -334,7 +367,7 @@ class IndexBuilder:
             if f in totals and totals[f][0] > 0
         ]
         write_small_parquet(
-            self.corpus_stats_path,
+            self._next_stats_dir(self.corpus_stats_path),
             pa.table(
                 {
                     "field": [r[0] for r in stats_rows],
@@ -381,7 +414,9 @@ class IndexBuilder:
     def _stage_postings(self, gen, stage_prefix, fingerprint, done, metrics):
         avgdl_by_field = {
             r["field"]: float(r["avgdl"])
-            for r in self.spark.read.parquet(self.corpus_stats_path).collect()
+            for r in self.spark.read.parquet(
+                self._latest_stats_dir(self.corpus_stats_path)
+            ).collect()
         }
         if self.shuffle_mode == "rows":
             salt_plan = self._salt_plans.pop(gen, None)
@@ -476,7 +511,7 @@ class IndexBuilder:
                 .agg(F.sum("df").alias("df"))
                 .sort("term")
                 .write.mode("overwrite")
-                .parquet(self.term_stats_path)
+                .parquet(self._next_stats_dir(self.term_stats_path))
             )
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
         metrics["term_stats_seconds"] = t.seconds
@@ -489,18 +524,45 @@ class IndexBuilder:
         generation — crash mid-build leaves the previous snapshot live."""
         import json
         import os
+        import shutil
         import uuid
 
         m = {
             "n_shards": self.n_shards,
             "generations": self.generations(),
         }
+        for name, base in (
+            ("corpus_stats", self.corpus_stats_path),
+            ("gen_meta", self.gen_meta_path),
+            ("term_stats", self.term_stats_path),
+        ):
+            v = self._latest_version(base)
+            if v is not None:
+                m[f"{name}_v"] = v
         local_dir = self.out.removeprefix("file:")
         os.makedirs(local_dir, exist_ok=True)
         tmp = os.path.join(local_dir, f"._manifest.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.rename(tmp, os.path.join(local_dir, "_manifest.json"))
+        # GC stats versions no snapshot can reference: keep the committed
+        # version plus ONE predecessor (engines pinned to the previous
+        # manifest may still lazily read their term_stats).
+        import re
+
+        for base in (self.corpus_stats_path, self.gen_meta_path,
+                     self.term_stats_path):
+            local = base.removeprefix("file:")
+            if not os.path.exists(local):
+                continue
+            vs = sorted(
+                int(mt.group(1))
+                for d in os.listdir(local)
+                if (mt := re.match(r"v_(\d+)$", d))
+            )
+            for v in vs[:-2]:
+                shutil.rmtree(os.path.join(local, f"v_{v}"),
+                              ignore_errors=True)
 
     def _write_index_meta(self) -> None:
         """Record structural facts queries need (n_shards re-derives the

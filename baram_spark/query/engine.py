@@ -50,11 +50,17 @@ class SearchEngine:
         self.index_dir = index_dir.rstrip("/")
         # snapshot isolation: when the builder's _manifest.json exists, read
         # ONLY the committed generations — a crashed/in-flight build's
-        # partial gen dirs are invisible (the Iceberg-manifest analog).
-        self._committed = self._committed_gens()
+        # partial gen dirs are invisible (the Iceberg-manifest analog) —
+        # and the committed VERSION of each small stats table (writers
+        # create fresh v_K dirs instead of overwriting, so a pinned reader
+        # never has files yanked from under it mid-build).
+        self._manifest = self._load_manifest()
+        self._committed = self._manifest_gens()
         self.corpus_stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
-            for r in spark.read.parquet(f"{self.index_dir}/corpus_stats").collect()
+            for r in spark.read.parquet(
+                self._stats_path("corpus_stats")
+            ).collect()
         }
         post_dir = f"{self.index_dir}/postings"
         if self._committed:
@@ -63,13 +69,13 @@ class SearchEngine:
             )
         else:
             self._postings = spark.read.parquet(post_dir)
-        self._term_stats = spark.read.parquet(f"{self.index_dir}/term_stats")
+        self._term_stats = spark.read.parquet(self._stats_path("term_stats"))
         self._has_gens = "gen" in self._postings.columns
         # block-max bound correction per (gen, field): avgdl_now/avgdl_pack
         # capped below at 1 (see wand.TermPostings)
         self._bound_factor: dict = {}
         import os
-        gm_path = f"{self.index_dir}/gen_meta"
+        gm_path = self._stats_path("gen_meta")
         if self._has_gens and os.path.exists(gm_path.removeprefix("file:")):
             for r in spark.read.parquet(gm_path).collect():
                 _, avgdl_now = self.corpus_stats.get(r["field"], (0, 0.0))
@@ -108,9 +114,7 @@ class SearchEngine:
         return self
 
     # ------------------------------------------------------------------
-    def _committed_gens(self) -> list[int] | None:
-        """Generations listed by the builder's snapshot manifest, or None
-        when the index predates manifests (fall back to directory listing)."""
+    def _load_manifest(self) -> dict | None:
         import json
         import os
 
@@ -121,10 +125,38 @@ class SearchEngine:
             return None
         try:
             with open(p) as f:
-                gens = json.load(f).get("generations")
-            return sorted(int(g) for g in gens) if gens else None
+                return json.load(f)
         except Exception:
             return None
+
+    def _manifest_gens(self) -> list[int] | None:
+        """Generations listed by the builder's snapshot manifest, or None
+        when the index predates manifests (fall back to directory listing)."""
+        gens = (self._manifest or {}).get("generations")
+        return sorted(int(g) for g in gens) if gens else None
+
+    def _stats_path(self, name: str) -> str:
+        """Resolve a small stats table to its committed version (manifest),
+        else the newest on-disk version, else the bare pre-versioning dir."""
+        import os
+        import re
+
+        base = f"{self.index_dir}/{name}"
+        v = (self._manifest or {}).get(f"{name}_v")
+        if v is not None:
+            cand = f"{base}/v_{int(v)}"
+            if os.path.exists(cand.removeprefix("file:")):
+                return cand
+        local = base.removeprefix("file:")
+        if os.path.exists(local):
+            vs = [
+                int(m.group(1))
+                for d in os.listdir(local)
+                if (m := re.match(r"v_(\d+)$", d))
+            ]
+            if vs:
+                return f"{base}/v_{max(vs)}"
+        return base
 
     def _docs(self) -> DataFrame:
         d = f"{self.index_dir}/docs"

@@ -22,3 +22,17 @@ def work_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("baram_index")
     yield str(d)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def stats_dir(index_dir: str, name: str) -> str:
+    """Resolve a versioned stats table (v_K subdirs) to its newest version."""
+    import os
+    import re as _re
+
+    base = f"{index_dir}/{name}"
+    if os.path.exists(base):
+        vs = [int(m.group(1)) for d in os.listdir(base)
+              if (m := _re.match(r"v_(\d+)$", d))]
+        if vs:
+            return f"{base}/v_{max(vs)}"
+    return base

@@ -91,7 +91,8 @@ def test_compact_physically_removes(spark, del_index):
     after = fresh.search(q, k=5)
     assert all(d != victim for d, _ in after)
     post = spark.read.parquet(f"{out}/postings")
-    ts = spark.read.parquet(f"{out}/term_stats")
+    from tests.conftest import stats_dir
+    ts = spark.read.parquet(stats_dir(out, "term_stats"))
     agg = post.groupBy("field", "term").agg(F.sum("df").alias("df_sum"))
     bad = (
         agg.join(ts, ["field", "term"], "full")

@@ -189,7 +189,8 @@ def test_merge_generations(spark, tmp_path):
     assert res["docs"] == docs.count()
     # gen_meta holds exactly one generation per field, packed at current
     # avgdl (bound factor 1)
-    gm = spark.read.parquet(f"{out}/gen_meta").collect()
+    from tests.conftest import stats_dir
+    gm = spark.read.parquet(stats_dir(out, "gen_meta")).collect()
     assert {r["gen"] for r in gm} == {0}
 
     fresh = SearchEngine(spark, out)

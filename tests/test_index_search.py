@@ -214,7 +214,8 @@ def test_salting_was_exercised(spark, index_dir, work_dir):
         assert _norm(e1.search(q["query_text"], k=10, mode="local")) == _norm(
             e2.search(q["query_text"], k=10, mode="local")
         )
-    ts = spark.read.parquet(f"{out2}/term_stats")
+    from tests.conftest import stats_dir
+    ts = spark.read.parquet(stats_dir(out2, "term_stats"))
     heavy = ts.filter(F.col("df") > 100).count()
     assert heavy > 0, "corpus should have Zipf-head terms above threshold"
     post = spark.read.parquet(f"{out2}/postings")
@@ -232,7 +233,8 @@ def test_salting_was_exercised(spark, index_dir, work_dir):
 def test_postings_df_matches_term_stats(spark, index_dir):
     """Σ per-shard df == global df from term_stats for every term."""
     post = spark.read.parquet(f"{index_dir}/postings")
-    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    from tests.conftest import stats_dir
+    ts = spark.read.parquet(stats_dir(index_dir, "term_stats"))
     agg = post.groupBy("field", "term").agg(F.sum("df").alias("df_sum"))
     bad = (
         agg.join(ts, ["field", "term"], "full")

@@ -75,12 +75,21 @@ def _corpus_stats(spark, sf_dir):
     )
 
 
+_BM25_SCORES_CACHE: dict = {}
+
+
 def _bm25_scores(spark, sf_dir):
     """Full (doc_id, score) BM25 relation — no ordering, no limit.
 
     ONE tokenize pass: tf is the only child of the exploded tokens; dl
     (Σ tf per doc), corpus stats and df all derive from the much smaller
-    tf relation, which is cached so its 3 consumers don't re-tokenize."""
+    tf relation, which is cached so its 3 consumers don't re-tokenize.
+    The final scores relation is itself cached and memoized per
+    (session, sf_dir) so bm25_topk and bm25_topk_filtered share ONE
+    materialization instead of re-running the tokenize+score pipeline."""
+    key = (id(spark), sf_dir)
+    if key in _BM25_SCORES_CACHE:
+        return _BM25_SCORES_CACHE[key]
     toks = _doc_tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -107,9 +116,11 @@ def _bm25_scores(spark, sf_dir):
             ),
         )
     )
-    return contrib.groupBy("doc_id").agg(
+    out = contrib.groupBy("doc_id").agg(
         F.round(F.sum("w"), 6).alias("score")
-    )
+    ).cache()
+    _BM25_SCORES_CACHE[key] = out
+    return out
 
 
 def _bm25_topk(spark, sf_dir, k: int = 10):

@@ -24,7 +24,9 @@ import sys
 import time
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. ``spark`` may be injected (tests / embedding callers);
+    the CLI only stops a session it created itself."""
     parser = argparse.ArgumentParser(prog="baram_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -37,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     p_index.add_argument("--no-resume", action="store_true")
     p_index.add_argument("--incremental", action="store_true")
     p_index.add_argument("--since", default=None)
+    # build-time embeddings (hybrid/vector search + the cluster subcommand
+    # read the embeddings/gen=G artifact; vectorize.rs embeds at index time)
+    p_index.add_argument("--embeddings", action="store_true")
 
     p_search = sub.add_parser("search")
     p_search.add_argument("--index", required=True)
@@ -68,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--index", required=True)
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=3000)
+    # readiness probe: load the index, bind the socket, print /api/health,
+    # exit 0 — the `nginx -t` analog (also what the CLI smoke test runs)
+    p_serve.add_argument("--check", action="store_true")
 
     p_stats = sub.add_parser("stats")
     p_stats.add_argument("--index", required=True)
@@ -80,9 +88,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
 
-    from baram_spark.session import get_spark
+    owns_spark = spark is None
+    if owns_spark:
+        from baram_spark.session import get_spark
 
-    spark = get_spark(app_name=f"baram-{args.cmd}")
+        spark = get_spark(app_name=f"baram-{args.cmd}")
 
     if args.cmd == "index":
         from baram_spark.index.builder import IndexBuilder
@@ -91,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         builder = IndexBuilder(
             spark, args.out, n_shards=args.shards,
             salt_threshold=args.salt_threshold,
+            build_embeddings=args.embeddings,
         )
         fp = args.fingerprint or f"cli-{int(time.time())}"
         if args.incremental:
@@ -140,14 +151,21 @@ def main(argv: list[str] | None = None) -> int:
         ctx = ServingContext(spark, args.index)
         server = make_server(ctx, host=args.host, port=args.port)
         host, port = server.server_address[:2]
-        print(f"baram-spark API server on http://{host}:{port}")
-        print("  GET  /api/search    - Search articles")
-        print("  GET  /api/health    - Health check")
-        try:
-            server.serve_forever()
-        except KeyboardInterrupt:
-            server.shutdown()
+        if args.check:
+            server.server_close()
+            print(json.dumps(ctx.health()))
+        else:
+            print(f"baram-spark API server on http://{host}:{port}")
+            print("  GET  /api/search    - Search articles")
+            print("  GET  /api/health    - Health check")
+            print("  GET  /api/events    - Event clusters")
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                server.shutdown()
     elif args.cmd == "stats":
+        from baram_spark.index.builder import IndexBuilder
+
         idx = args.index.rstrip("/")
         docs = spark.read.parquet(f"{idx}/docs")
         post = spark.read.parquet(f"{idx}/postings")
@@ -202,7 +220,8 @@ def main(argv: list[str] | None = None) -> int:
                     for r in rows
                 ]
             }))
-    spark.stop()
+    if owns_spark:
+        spark.stop()
     return 0
 
 

@@ -64,6 +64,7 @@ class IndexBuilder:
         build_embeddings: bool = False,
         embed_fn=None,
         shuffle_mode: str = "rows",
+        phase_threshold: int = 100_000,
     ):
         self.spark = spark
         self.out = out_dir.rstrip("/")
@@ -83,6 +84,8 @@ class IndexBuilder:
         # Identical output either way (byte-identity asserted in tests);
         # see build.build_postings for the measured tradeoff.
         self.shuffle_mode = shuffle_mode
+        # extract-stage phasing crossover (docs): see _stage_extract_tokenize
+        self.phase_threshold = phase_threshold
         # fresh builds: few big jobs (full parallelism); resume rebuilds are
         # naturally small. Default: half the shards per job.
         self.shards_per_job = shards_per_job or max(n_shards // 2, 1)
@@ -194,6 +197,12 @@ class IndexBuilder:
 
         from pyspark import StorageLevel
 
+        # corpus size decides the phasing strategy below — for plain
+        # parquet input this is a metadata-only count; filtered inputs
+        # (incremental waves) pay one cheap pre-pass over the filter
+        # columns only (never the html)
+        n_pages = pages.count()
+        metrics["pages_in"] = n_pages
         extracted = extract_docs(pages).persist(StorageLevel.MEMORY_AND_DISK)
         obs_docs = Observation(stage_docs)
         try:
@@ -244,20 +253,27 @@ class IndexBuilder:
                     except Exception as e:
                         errs.append(e)
 
-                # PHASE 1: the tokenize job alone — it materializes the
-                # persisted extraction at FULL python-worker parallelism.
-                # Running the heavy python stages concurrently would spawn
-                # n_jobs × n_cores python workers (3× core oversubscription
-                # at local[32] — measured as a hard wall-time floor).
-                write_terms()
-                # PHASE 2: the remaining consumers read the cache — docs
+                # Adaptive phasing. Running every consumer concurrently
+                # spawns n_jobs × n_cores python workers — a measured hard
+                # wall-time floor at 400k docs (3× core oversubscription at
+                # local[32]); but at small corpora the lost overlap costs
+                # more than the oversubscription (r2 driver bench, 20k
+                # docs: extract 4.75 s → 8.01 s). Above the threshold:
+                # PHASE 1 runs the tokenize job alone — it materializes the
+                # persisted extraction at FULL python-worker parallelism —
+                # then PHASE 2 overlaps the cheap cache consumers (docs
                 # write is JVM-only parquet IO, the salt sample tokenizes
-                # 5%, embeddings hash cached rows; these overlap cheaply.
+                # 5%, embeddings hash cached rows). Below it, every
+                # consumer overlaps from the start.
                 tasks = [write_docs]
                 if self.shuffle_mode == "rows":
                     tasks.append(plan_salts_task)
                 if not emb_done:
                     tasks.append(write_embeddings)
+                if n_pages >= self.phase_threshold:
+                    write_terms()
+                else:
+                    tasks.insert(0, write_terms)
                 with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
                     list(pool.map(lambda f: f(), tasks))
                 if errs:

@@ -1,0 +1,87 @@
+"""CLI smoke tests — every `python -m baram_spark` subcommand runs against
+a tiny real index.
+
+The round-2 review found a shipped NameError in `stats` precisely because
+no test invoked the CLI surface; this file closes that class of bug for
+good (index / search / search --hybrid / stats / cluster / serve --check).
+"""
+
+import json
+
+import pytest
+
+from baram_spark.__main__ import main
+from baram_spark.corpus import make_query_set, pages_df
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    pages_path = f"{d}/pages"
+    pages_df(spark, N_DOCS, partitions=4).write.parquet(pages_path)
+    out = f"{d}/idx"
+    rc = main(
+        ["index", "--pages", pages_path, "--out", out, "--shards", "2",
+         "--embeddings", "--fingerprint", f"cli-{N_DOCS}"],
+        spark=spark,
+    )
+    assert rc == 0
+    return out
+
+
+def _run(capsys, spark, argv) -> dict:
+    assert main(argv, spark=spark) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+    return json.loads(lines[-1])
+
+
+def test_cli_index_emits_metrics(cli_index):
+    import os
+
+    assert os.path.exists(f"{cli_index}/_manifest.json")
+    assert os.path.exists(f"{cli_index}/postings")
+    assert os.path.exists(f"{cli_index}/embeddings")
+
+
+def test_cli_search(capsys, spark, cli_index):
+    q = make_query_set()[0]["query_text"]
+    out = _run(capsys, spark, ["search", "--index", cli_index,
+                               "--query", q, "--k", "5"])
+    assert out["query"] == q
+    assert 1 <= len(out["hits"]) <= 5
+    assert all("doc_id" in h and "score" in h for h in out["hits"])
+
+
+def test_cli_search_hybrid(capsys, spark, cli_index):
+    q = make_query_set()[0]["query_text"]
+    out = _run(capsys, spark, ["search", "--index", cli_index,
+                               "--query", q, "--k", "5", "--hybrid"])
+    assert out["hits"]
+
+
+def test_cli_stats(capsys, spark, cli_index):
+    # the generator plants deleted-page fixtures that extraction drops,
+    # so compare against the docs table, not the raw page count
+    n_docs = spark.read.parquet(f"{cli_index}/docs").count()
+    out = _run(capsys, spark, ["stats", "--index", cli_index])
+    assert out["documents"] == n_docs
+    assert out["posting_lists"] > 0
+    assert out["postings"] > 0
+    assert out["terms"] > 0
+    assert out["generations"] == [0]
+
+
+def test_cli_cluster(capsys, spark, cli_index):
+    out = _run(capsys, spark, ["cluster", "--index", cli_index,
+                               "--threshold", "0.5", "--min-size", "2"])
+    assert "clusters" in out
+
+
+def test_cli_serve_check(capsys, spark, cli_index):
+    n_docs = spark.read.parquet(f"{cli_index}/docs").count()
+    out = _run(capsys, spark, ["serve", "--index", cli_index,
+                               "--port", "0", "--check"])
+    assert out["status"] == "ok"
+    assert out["document_count"] == n_docs

@@ -128,8 +128,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             emb_dir = f"{args.index}/embeddings"
             if os.path.exists(emb_dir.removeprefix("file:")):
-                # build-time artifact: one parquet read, zero embedding jobs
-                emb = spark.read.parquet(emb_dir)
+                # build-time artifact at the COMMITTED snapshot: one
+                # parquet read, zero embedding jobs
+                from baram_spark.index.builder import read_gen_table
+
+                emb = read_gen_table(spark, args.index, "embeddings",
+                                     gens=engine._committed)
             else:
                 print(
                     "warning: no build-time embeddings at "
@@ -164,11 +168,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             except KeyboardInterrupt:
                 server.shutdown()
     elif args.cmd == "stats":
-        from baram_spark.index.builder import IndexBuilder
+        from baram_spark.index.builder import IndexBuilder, read_gen_table
 
         idx = args.index.rstrip("/")
-        docs = spark.read.parquet(f"{idx}/docs")
-        post = spark.read.parquet(f"{idx}/postings")
+        # manifest-committed snapshot only: retained-but-superseded gens
+        # (merge/compact retention) must not double-count
+        docs = read_gen_table(spark, idx, "docs")
+        post = read_gen_table(spark, idx, "postings")
         from pyspark.sql import functions as F
 
         gens = sorted(
@@ -195,12 +201,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "cluster":
         from pyspark.sql import functions as F
 
+        from baram_spark.index.builder import read_gen_table
         from baram_spark.operators.clustering import (
             cluster_embeddings,
             cluster_summaries,
         )
 
-        emb = spark.read.parquet(f"{args.index}/embeddings")
+        emb = read_gen_table(spark, args.index, "embeddings")
         dim = len(emb.select("embedding").first()[0])
         clusters = cluster_embeddings(
             emb, dim=dim, threshold=args.threshold, min_size=args.min_size,

@@ -50,6 +50,50 @@ GEN_META_SCHEMA = (
     "gen int, field string, n_docs long, dl_sum long, avgdl_pack double"
 )
 
+# data dirs that carry gen=G partitions (GC / next-gen scans)
+_GEN_TABLES = ("docs", "doc_terms", "postings", "embeddings", "doc_attrs")
+
+
+def committed_gens(index_dir: str) -> list[int] | None:
+    """Generations listed by ``_manifest.json``, or None when the index
+    predates manifests (callers fall back to a directory listing)."""
+    import json
+    import os
+
+    p = os.path.join(index_dir.rstrip("/").removeprefix("file:"),
+                     "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            gens = json.load(f).get("generations")
+    except Exception:
+        return None
+    return sorted(int(g) for g in gens) if gens is not None else None
+
+
+def read_gen_table(spark: SparkSession, index_dir: str, table: str,
+                   gens: list[int] | None = None) -> DataFrame:
+    """Read a gen-partitioned index table at the COMMITTED snapshot.
+
+    Superseded generations may linger on disk until GC (retention keeps
+    pinned readers alive), so any consumer that reads a whole table dir —
+    CLI stats/cluster, hybrid search, dedup prefilters — must go through
+    the manifest's generation list or it double-counts merged docs."""
+    import os
+
+    base = f"{index_dir.rstrip('/')}/{table}"
+    if gens is None:
+        gens = committed_gens(index_dir)
+    if gens:
+        dirs = [
+            f"{base}/gen={g}" for g in gens
+            if os.path.exists(f"{base}/gen={g}".removeprefix("file:"))
+        ]
+        if dirs:
+            return spark.read.option("basePath", base).parquet(*dirs)
+    return spark.read.parquet(base)
+
 
 class IndexBuilder:
     def __init__(
@@ -65,6 +109,7 @@ class IndexBuilder:
         embed_fn=None,
         shuffle_mode: str = "rows",
         phase_threshold: int = 100_000,
+        retain_snapshots: int = 2,
     ):
         self.spark = spark
         self.out = out_dir.rstrip("/")
@@ -86,6 +131,9 @@ class IndexBuilder:
         self.shuffle_mode = shuffle_mode
         # extract-stage phasing crossover (docs): see _stage_extract_tokenize
         self.phase_threshold = phase_threshold
+        # snapshots whose generation dirs survive GC (readers pinned to a
+        # recent manifest keep their files; see _commit_manifest / vacuum)
+        self.retain_snapshots = max(retain_snapshots, 1)
         # fresh builds: few big jobs (full parallelism); resume rebuilds are
         # naturally small. Default: half the shards per job.
         self.shards_per_job = shards_per_job or max(n_shards // 2, 1)
@@ -126,6 +174,10 @@ class IndexBuilder:
     @property
     def embeddings_path(self):
         return f"{self.out}/embeddings"
+
+    @property
+    def doc_attrs_path(self):
+        return f"{self.out}/doc_attrs"
 
     def _exists(self, path: str) -> bool:
         import os
@@ -193,6 +245,8 @@ class IndexBuilder:
                 )
             if not emb_done:
                 self._stage_embeddings(on_disk, gen, stage_emb, fingerprint)
+            if not self._exists(f"{self.doc_attrs_path}/gen={gen}"):
+                self._stage_doc_attrs(on_disk, gen)
             return
 
         from pyspark import StorageLevel
@@ -253,6 +307,14 @@ class IndexBuilder:
                     except Exception as e:
                         errs.append(e)
 
+                def write_attrs():
+                    # filter attribute index — JVM-only shuffle+write over
+                    # 4 skinny columns of the cached extraction
+                    try:
+                        self._stage_doc_attrs(extracted, gen)
+                    except Exception as e:
+                        errs.append(e)
+
                 # Adaptive phasing. Running every consumer concurrently
                 # spawns n_jobs × n_cores python workers — a measured hard
                 # wall-time floor at 400k docs (3× core oversubscription at
@@ -265,7 +327,7 @@ class IndexBuilder:
                 # write is JVM-only parquet IO, the salt sample tokenizes
                 # 5%, embeddings hash cached rows). Below it, every
                 # consumer overlaps from the start.
-                tasks = [write_docs]
+                tasks = [write_docs, write_attrs]
                 if self.shuffle_mode == "rows":
                     tasks.append(plan_salts_task)
                 if not emb_done:
@@ -286,7 +348,8 @@ class IndexBuilder:
         metrics["extract_seconds"] = t.seconds
         metrics["docs_out"] = n_out
 
-    def _stage_tokenize_from(self, docs, gen, stage, fingerprint, metrics):
+    def _stage_tokenize_from(self, docs, gen, stage, fingerprint, metrics,
+                             drop_gens=()):
         # per-field corpus stats ride along as write observations on the
         # `first` flag — no separate pass over the much larger doc_terms.
         obs = Observation(f"doc_terms_{gen}")
@@ -316,9 +379,37 @@ class IndexBuilder:
                 (gen, f, int(got[f"n_{f}"] or 0), int(got[f"dl_{f}"] or 0))
                 for f in INDEX_FIELDS
             ]
-            self._update_stats(gen, gen_rows)
+            self._update_stats(gen, gen_rows, drop_gens=drop_gens)
         self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
         metrics["tokenize_seconds"] = t.seconds
+
+    def _stage_doc_attrs(self, docs, gen) -> None:
+        """Per-snapshot filter ATTRIBUTE INDEX (the analog of the
+        reference's index-time keyword/date fields, embedding/mod.rs:
+        237-330): a skinny (doc_id, shard, category, published_at) table
+        sorted within partitions by (category, published_at).
+
+        Why not just column-prune the docs table? Parquet pushdown prunes
+        ROW GROUPS by min-max, and docs are laid out in ingest order —
+        every row group spans every category, so a category filter still
+        reads the whole skinny projection. Sorting the attribute table by
+        the filter keys makes min-max pruning actually skip row groups, so
+        a filtered query's candidate scan stays proportional to the
+        selected slice at 100 TB, not to the corpus."""
+        (
+            docs.select(
+                "doc_id",
+                shard_expr(self.n_shards).cast("int").alias("shard"),
+                "category",
+                "published_at",
+            )
+            # tiny rows: few output files, each internally sorted for
+            # min-max pruning on (category, published_at)
+            .repartition(max(self.n_shards // 4, 1))
+            .sortWithinPartitions("category", "published_at")
+            .write.mode("overwrite")
+            .parquet(f"{self.doc_attrs_path}/gen={gen}")
+        )
 
     def _stage_embeddings(self, docs, gen, stage, fingerprint) -> None:
         """Build-time doc embeddings (the reference embeds at index time,
@@ -334,13 +425,19 @@ class IndexBuilder:
             )
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
 
-    def _update_stats(self, gen: int, gen_rows: list[tuple]) -> None:
-        """Fold this generation into global corpus_stats + gen_meta."""
+    def _update_stats(self, gen: int, gen_rows: list[tuple],
+                      drop_gens=()) -> None:
+        """Fold this generation into global corpus_stats + gen_meta.
+
+        ``drop_gens``: generations being RETIRED by this operation
+        (compact/merge rewrite docs into a fresh gen number) — their rows
+        leave gen_meta and the global totals along with the update."""
+        drop = {int(g) for g in drop_gens}
         prior: dict[tuple[int, str], tuple[int, int, float]] = {}
         gm_read = self._latest_stats_dir(self.gen_meta_path)
         if self._exists(gm_read):
             for r in self.spark.read.parquet(gm_read).collect():
-                if r["gen"] != gen:
+                if r["gen"] != gen and int(r["gen"]) not in drop:
                     prior[(r["gen"], r["field"])] = (
                         r["n_docs"], r["dl_sum"], r["avgdl_pack"]
                     )
@@ -368,7 +465,7 @@ class IndexBuilder:
             pa.table(
                 {
                     "gen": pa.array([r[0] for r in meta_rows], pa.int32()),
-                    "field": [r[1] for r in meta_rows],
+                    "field": pa.array([r[1] for r in meta_rows], pa.string()),
                     "n_docs": pa.array([r[2] for r in meta_rows], pa.int64()),
                     "dl_sum": pa.array([r[3] for r in meta_rows], pa.int64()),
                     "avgdl_pack": pa.array(
@@ -386,7 +483,7 @@ class IndexBuilder:
             self._next_stats_dir(self.corpus_stats_path),
             pa.table(
                 {
-                    "field": [r[0] for r in stats_rows],
+                    "field": pa.array([r[0] for r in stats_rows], pa.string()),
                     "n_docs": pa.array([r[1] for r in stats_rows], pa.int64()),
                     "avgdl": pa.array(
                         [float(r[2]) for r in stats_rows], pa.float64()
@@ -513,16 +610,20 @@ class IndexBuilder:
                 total_postings / metrics["postings_seconds"]
             )
 
-    def _stage_term_stats(self, stage, fingerprint, done, metrics):
-        """Exact GLOBAL term_stats (query idf) from packed rows across all
-        generations — (n_terms × n_shards × n_gens) rows, far smaller than
-        doc_terms."""
+    def _stage_term_stats(self, stage, fingerprint, done, metrics,
+                          gens: list[int] | None = None):
+        """Exact GLOBAL term_stats (query idf) from packed rows across the
+        generations ABOUT TO BE COMMITTED — (n_terms × n_shards × n_gens)
+        rows, far smaller than doc_terms. Reading the committed list (not
+        the postings dir) keeps partial gens from crashed builds and
+        retained-but-superseded gens out of the global df."""
         if (stage, 0) in done:
             metrics["resumed_stages"].append(stage)
             return
+        src = read_gen_table(self.spark, self.out, "postings", gens=gens)
         with StageTimer() as t:
             (
-                self.spark.read.parquet(self.postings_path)
+                src
                 .groupBy("field", "term")
                 .agg(F.sum("df").alias("df"))
                 .sort("term")
@@ -532,20 +633,84 @@ class IndexBuilder:
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
         metrics["term_stats_seconds"] = t.seconds
 
-    def _commit_manifest(self) -> None:
+    def _read_manifest(self) -> dict | None:
+        import json
+        import os
+
+        p = os.path.join(self.out.removeprefix("file:"), "_manifest.json")
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    def committed_generations(self) -> list[int]:
+        """The snapshot's generation list — from the manifest when one
+        exists (a crashed earlier build's partial gen dirs are invisible),
+        else the on-disk listing (pre-manifest layouts)."""
+        gens = committed_gens(self.out)
+        return gens if gens is not None else self.generations()
+
+    def _next_gen(self) -> int:
+        """First generation number unused by ANY on-disk dir or gen_meta
+        row — never reuses a number a pinned reader might still resolve."""
+        import os
+
+        used = set()
+        for t in _GEN_TABLES:
+            base = f"{self.out}/{t}".removeprefix("file:")
+            if os.path.isdir(base):
+                used.update(
+                    int(d.split("=")[1]) for d in os.listdir(base)
+                    if d.startswith("gen=")
+                )
+        gm = self._latest_stats_dir(self.gen_meta_path).removeprefix("file:")
+        if os.path.exists(gm):
+            import pyarrow.parquet as pq
+
+            try:
+                used.update(
+                    int(g) for g in pq.read_table(gm, columns=["gen"])
+                    ["gen"].to_pylist()
+                )
+            except Exception:
+                pass
+        return (max(used) + 1) if used else 0
+
+    def _commit_manifest(self, gens: list[int] | None = None) -> None:
         """Snapshot-atomic commit point (the Iceberg-manifest analog for
         the parquet layout): a single ``_manifest.json`` swapped via
         tmp+rename AFTER a generation's postings + stats are complete.
-        Readers that honor the manifest never see a partially-written
-        generation — crash mid-build leaves the previous snapshot live."""
+
+        ``gens`` is the EXPLICIT committed-generation list (previous
+        manifest's list plus/minus what this operation added or retired) —
+        never a directory listing, so a partial generation left by a
+        crashed build is never committed by the next successful one. The
+        manifest also keeps a short snapshot ``history``; generation dirs
+        referenced by no retained snapshot are GC'd here (readers pinned
+        within the retention window keep their files; ``vacuum`` reclaims
+        more aggressively when the caller knows nothing is pinned)."""
         import json
         import os
         import shutil
         import uuid
 
+        prev = self._read_manifest()
+        if gens is None:
+            # legacy/back-compat path: directory listing
+            gens = self.generations()
+        gens = sorted({int(g) for g in gens})
+        sid = int((prev or {}).get("snapshot_id", 0)) + 1
+        history = list((prev or {}).get("history", []))
+        history.append({"snapshot_id": sid, "generations": gens})
+        history = history[-self.retain_snapshots:]
         m = {
             "n_shards": self.n_shards,
-            "generations": self.generations(),
+            "generations": gens,
+            "snapshot_id": sid,
+            "history": history,
         }
         for name, base in (
             ("corpus_stats", self.corpus_stats_path),
@@ -579,6 +744,49 @@ class IndexBuilder:
             for v in vs[:-2]:
                 shutil.rmtree(os.path.join(local, f"v_{v}"),
                               ignore_errors=True)
+        # GC generation dirs referenced by NO retained snapshot: superseded
+        # gens (merge/compact) leave the retention window, and partial gens
+        # from crashed builds (never in any history entry) are reclaimed.
+        referenced = {int(g) for h in history for g in h["generations"]}
+        self._gc_gen_dirs(referenced)
+
+    def _gc_gen_dirs(self, referenced: set[int]) -> None:
+        import os
+        import shutil
+
+        for t in _GEN_TABLES:
+            base = f"{self.out}/{t}".removeprefix("file:")
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("gen=") and int(d.split("=")[1]) not in referenced:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    def vacuum(self, retain_snapshots: int = 1) -> dict:
+        """Expire old snapshots NOW (the Iceberg expire_snapshots analog):
+        shrink the manifest history to the newest ``retain_snapshots``
+        entries and delete generation dirs nothing retained references.
+        Call when the operator knows no reader is pinned past the window
+        (e.g. right after a maintenance merge, before re-serving)."""
+        import json
+        import os
+        import uuid
+
+        m = self._read_manifest()
+        if m is None:
+            return {"removed_gens": []}
+        history = list(m.get("history", []))[-max(retain_snapshots, 1):]
+        referenced = {int(g) for h in history for g in h["generations"]}
+        referenced |= {int(g) for g in m.get("generations", [])}
+        before = set(self.generations())
+        m["history"] = history
+        local_dir = self.out.removeprefix("file:")
+        tmp = os.path.join(local_dir, f"._manifest.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.rename(tmp, os.path.join(local_dir, "_manifest.json"))
+        self._gc_gen_dirs(referenced)
+        return {"removed_gens": sorted(before - referenced)}
 
     def _write_index_meta(self) -> None:
         """Record structural facts queries need (n_shards re-derives the
@@ -605,8 +813,10 @@ class IndexBuilder:
             pages, 0, "docs", "doc_terms", fingerprint, done, metrics
         )
         self._stage_postings(0, "postings", fingerprint, done, metrics)
-        self._stage_term_stats("term_stats", fingerprint, done, metrics)
-        self._commit_manifest()
+        gens = sorted(set(self.committed_generations()) | {0})
+        self._stage_term_stats("term_stats", fingerprint, done, metrics,
+                               gens=gens)
+        self._commit_manifest(gens)
         return metrics
 
     def build_incremental(self, pages: DataFrame, fingerprint: str,
@@ -631,14 +841,19 @@ class IndexBuilder:
         if prior_gens:
             gen = max(prior_gens)
         else:
-            gens = self.generations()
-            gen = (max(gens) + 1) if gens else 0
+            gen = self._next_gen()
+        committed_before = self.committed_generations()
         metrics: dict = {"fingerprint": fingerprint, "gen": gen,
                          "resumed_stages": []}
         if since is not None:
             pages = pages.filter(F.col("warc_ts") >= F.lit(since))
-        if gen > 0:
-            known = self.spark.read.parquet(self.docs_path).select("url")
+        if gen > 0 and committed_before:
+            # checkpoint anti-join against COMMITTED urls only — a retained
+            # superseded gen may hold urls whose docs were deleted in the
+            # merge; those must be re-indexable
+            known = read_gen_table(
+                self.spark, self.out, "docs", gens=committed_before
+            ).select("url")
             pages = pages.join(known, "url", "left_anti")
         stage = lambda name: f"{name}.g{gen}"
         self._stage_extract_tokenize(
@@ -657,11 +872,13 @@ class IndexBuilder:
                 ignore_errors=True,
             )
             metrics["postings_built"] = 0
-            self._commit_manifest()
+            self._commit_manifest(committed_before)
             return metrics
         self._stage_postings(gen, stage("postings"), fingerprint, done, metrics)
-        self._stage_term_stats(stage("term_stats"), fingerprint, done, metrics)
-        self._commit_manifest()
+        gens = sorted(set(committed_before) | {gen})
+        self._stage_term_stats(stage("term_stats"), fingerprint, done,
+                               metrics, gens=gens)
+        self._commit_manifest(gens)
         return metrics
 
     # -- deletion (delete_by_query analog, mod.rs:768-818) -----------------
@@ -716,76 +933,114 @@ class IndexBuilder:
         docs table (the ``delete_by_query`` analog, mod.rs:768-818) —
         e.g. ``"category = 'sports'"`` or ``"url = '...'"``. The predicate
         is a pushed-down parquet filter; returns the number tombstoned."""
-        docs = self.spark.read.parquet(self.docs_path).filter(predicate)
+        docs = read_gen_table(self.spark, self.out, "docs").filter(predicate)
         return self.delete_docs(docs.select("doc_id"))
 
     def compact(self, fingerprint: str | None = None) -> dict:
-        """Physically remove tombstoned docs: rewrite each affected
-        generation's docs + doc_terms + postings, refresh global stats and
-        term_stats, then clear the tombstone set. Generations containing no
-        tombstoned doc are untouched (per-generation compaction — the
-        Lucene segment-merge shape)."""
+        """Physically remove tombstoned docs: each affected generation's
+        surviving docs are rewritten into a FRESH generation number (docs +
+        doc_terms + postings + embeddings), global stats and term_stats are
+        refreshed, the manifest commits the swap, and the tombstone set is
+        cleared. Generations containing no tombstoned doc are untouched
+        (per-generation compaction — the Lucene segment-merge shape).
+
+        Writing a NEW gen instead of overwriting in place means (a) a
+        shard whose compacted output is empty can never leave stale files
+        behind under dynamic partition overwrite, and (b) readers pinned to
+        the previous snapshot keep their gen dirs until GC retention
+        expires them."""
         import os
         import shutil
         import time as _time
 
         deleted = self.deleted_ids()
-        result = {"tombstones": len(deleted), "compacted_gens": []}
+        result = {"tombstones": len(deleted), "compacted_gens": [],
+                  "dropped_gens": [], "new_gens": []}
         if not deleted:
             return result
         fp = fingerprint or f"compact-{int(_time.time())}"
         del_df = F.broadcast(
             self.spark.createDataFrame([(i,) for i in deleted], "doc_id long")
         )
-        for gen in self.generations():
+        committed = list(self.committed_generations())
+        next_gen = self._next_gen()
+        new_committed = list(committed)
+        for gen in committed:
             gen_dir = f"{self.docs_path}/gen={gen}"
             docs_gen = self.spark.read.parquet(gen_dir)
             if docs_gen.join(del_df, "doc_id", "left_semi").isEmpty():
                 continue
             kept = docs_gen.join(del_df, "doc_id", "left_anti")
-            # rewrite via tmp dir + swap (cannot overwrite a path mid-read)
-            tmp = f"{self.out}/_compact_tmp"
-            kept.write.mode("overwrite").parquet(tmp)
-            local_gen = gen_dir.removeprefix("file:")
-            shutil.rmtree(local_gen)
-            os.rename(tmp.removeprefix("file:"), local_gen)
-            stage = lambda name: f"{name}.g{gen}"
-            self._stage_tokenize_from(
-                self.spark.read.parquet(gen_dir), gen, stage("doc_terms"),
-                fp, {},
-            )
-            self._stage_postings(gen, stage("postings"), fp, set(), {})
+            new_committed.remove(gen)
             result["compacted_gens"].append(gen)
+            if kept.isEmpty():
+                # every doc in the generation was tombstoned: the gen
+                # simply leaves the snapshot (no replacement gen)
+                self._update_stats(gen, [], drop_gens={gen})
+                result["dropped_gens"].append(gen)
+                continue
+            g2 = next_gen
+            next_gen += 1
+            kept.write.mode("overwrite").parquet(
+                f"{self.docs_path}/gen={g2}"
+            )
+            kept_disk = self.spark.read.parquet(f"{self.docs_path}/gen={g2}")
+            self._stage_tokenize_from(
+                kept_disk, g2, f"doc_terms.g{g2}", fp, {}, drop_gens={gen},
+            )
+            self._stage_postings(g2, f"postings.g{g2}", fp, set(), {})
+            self._stage_doc_attrs(kept_disk, g2)
+            emb_dir = f"{self.embeddings_path}/gen={gen}"
+            if self._exists(emb_dir):
+                (
+                    self.spark.read.parquet(emb_dir)
+                    .join(del_df, "doc_id", "left_anti")
+                    .write.mode("overwrite")
+                    .parquet(f"{self.embeddings_path}/gen={g2}")
+                )
+            new_committed.append(g2)
+            result["new_gens"].append(g2)
+        new_committed = sorted(new_committed)
         if result["compacted_gens"]:
-            self._stage_term_stats(f"term_stats.{fp}", fp, set(), {})
+            self._stage_term_stats(f"term_stats.{fp}", fp, set(), {},
+                                   gens=new_committed)
+        # commit FIRST: a crash before the manifest swap must leave the
+        # old snapshot live WITH its tombstones still excluding docs
+        self._commit_manifest(new_committed)
         shutil.rmtree(
             self.deletes_path.removeprefix("file:"), ignore_errors=True
         )
-        self._commit_manifest()
         return result
 
     def merge_generations(self, fingerprint: str | None = None) -> dict:
-        """Consolidate ALL generations (and pending tombstones) into a
-        single generation 0 — the Lucene segment-merge analog.
+        """Consolidate ALL committed generations (and pending tombstones)
+        into ONE fresh generation — the Lucene segment-merge analog.
 
         Many small generations cost queries one posting-list row per
         (gen, shard, term) and one bound-correction factor each; merging
         restores the single-generation layout and re-packs every posting
         list with the current global avgdl (bound factors return to 1).
         At scale this is the periodic maintenance job, run when
-        n_generations or the tombstone count crosses a threshold."""
-        import os
+        n_generations or the tombstone count crosses a threshold.
+
+        The merged output is staged under a NEW generation number and only
+        becomes visible at the manifest commit — a crash mid-merge leaves
+        the previous snapshot fully live, and readers pinned to it keep
+        their gen dirs until GC retention (or an explicit :meth:`vacuum`)
+        expires them. No data dir is ever removed before the commit."""
         import shutil
         import time as _time
 
-        gens = self.generations()
+        gens = self.committed_generations()
         deleted = self.deleted_ids()
         if len(gens) <= 1 and not deleted:
             return {"merged_gens": gens, "docs": None}
         fp = fingerprint or f"merge-{int(_time.time())}"
-        docs = self.spark.read.parquet(self.docs_path)
+        new_gen = self._next_gen()
+        docs = read_gen_table(self.spark, self.out, "docs", gens=gens)
         if "gen" in docs.columns:
             docs = docs.drop("gen")
+        del_df = None
         if deleted:
             del_df = F.broadcast(
                 self.spark.createDataFrame(
@@ -793,21 +1048,45 @@ class IndexBuilder:
                 )
             )
             docs = docs.join(del_df, "doc_id", "left_anti")
-        tmp = f"{self.out}/_merge_tmp"
-        docs.write.mode("overwrite").parquet(tmp)
-        for path in (self.docs_path, self.doc_terms_path,
-                     self.postings_path, self.gen_meta_path,
-                     self.deletes_path):
-            shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
-        docs_local = self.docs_path.removeprefix("file:")
-        os.makedirs(docs_local)
-        os.rename(tmp.removeprefix("file:"), f"{docs_local}/gen=0")
-        merged = self.spark.read.parquet(f"{self.docs_path}/gen=0")
-        self._stage_tokenize_from(merged, 0, f"doc_terms.{fp}", fp, {})
-        self._stage_postings(0, f"postings.{fp}", fp, set(), {})
-        self._stage_term_stats(f"term_stats.{fp}", fp, set(), {})
-        self._commit_manifest()
-        return {"merged_gens": gens, "tombstones_applied": len(deleted),
+        docs.write.mode("overwrite").parquet(
+            f"{self.docs_path}/gen={new_gen}"
+        )
+        merged = self.spark.read.parquet(f"{self.docs_path}/gen={new_gen}")
+        # retire EVERY other gen_meta row (stale rows from crashed builds
+        # included) — the merged gen is the whole corpus by definition
+        old_meta_gens = set()
+        gm_read = self._latest_stats_dir(self.gen_meta_path)
+        if self._exists(gm_read):
+            old_meta_gens = {
+                int(r["gen"])
+                for r in self.spark.read.parquet(gm_read)
+                .select("gen").distinct().collect()
+            }
+        self._stage_tokenize_from(merged, new_gen, f"doc_terms.{fp}", fp, {},
+                                  drop_gens=old_meta_gens - {new_gen})
+        self._stage_postings(new_gen, f"postings.{fp}", fp, set(), {})
+        self._stage_doc_attrs(merged, new_gen)
+        emb = None
+        if any(
+            self._exists(f"{self.embeddings_path}/gen={g}") for g in gens
+        ):
+            emb = read_gen_table(self.spark, self.out, "embeddings",
+                                 gens=gens)
+            if "gen" in emb.columns:
+                emb = emb.drop("gen")
+            if del_df is not None:
+                emb = emb.join(del_df, "doc_id", "left_anti")
+            emb.write.mode("overwrite").parquet(
+                f"{self.embeddings_path}/gen={new_gen}"
+            )
+        self._stage_term_stats(f"term_stats.{fp}", fp, set(), {},
+                               gens=[new_gen])
+        self._commit_manifest([new_gen])
+        shutil.rmtree(
+            self.deletes_path.removeprefix("file:"), ignore_errors=True
+        )
+        return {"merged_gens": gens, "new_gen": new_gen,
+                "tombstones_applied": len(deleted),
                 "docs": merged.count()}
 
     def generations(self) -> list[int]:

@@ -200,19 +200,39 @@ class SearchEngine:
             return None
         return np.unique(ids.astype(np.int64))
 
+    def _doc_attrs(self) -> DataFrame | None:
+        """The build-time filter ATTRIBUTE INDEX (doc_id, shard, category,
+        published_at), sorted by the filter keys so min-max row-group
+        pruning skips non-matching groups — the index-time keyword/date
+        field analog (mod.rs:237-330). None on pre-attrs layouts."""
+        import os
+
+        d = f"{self.index_dir}/doc_attrs"
+        if not os.path.exists(d.removeprefix("file:")):
+            return None
+        if self._committed:
+            dirs = [f"{d}/gen={g}" for g in self._committed]
+            if not all(
+                os.path.exists(p.removeprefix("file:")) for p in dirs
+            ):
+                # mixed layout (e.g. pre-attrs gens next to new waves):
+                # a partial attribute index would silently DROP candidates
+                # from the uncovered generations — fall back to docs
+                return None
+            return self.spark.read.option("basePath", d).parquet(*dirs)
+        return self.spark.read.parquet(d)
+
     def _allowed_docs(self, category, date_from, date_to):
         """Filter-context candidate set (doc_id, shard) — the reference's
         bool-filter on category / published_at range (mod.rs:509-531).
 
-        The filter is a pushed-down parquet predicate over the docs table;
-        shard is re-derived from doc_id with the same expression the builder
-        used, so the set cogroups 1:1 with the postings shards. Returns None
-        when no filter is active."""
+        The filter is a pushed-down parquet predicate over the doc_attrs
+        attribute index (falling back to a column-pruned docs scan on
+        old layouts); doc_attrs carries the shard precomputed with the
+        same expression the builder used, so the set cogroups 1:1 with
+        the postings shards. Returns None when no filter is active."""
         if category is None and date_from is None and date_to is None:
             return None
-        from ..index.build import shard_expr
-
-        docs = self._docs()
         cond = F.lit(True)
         if category is not None:
             cond = cond & (F.col("category") == category)
@@ -220,7 +240,12 @@ class SearchEngine:
             cond = cond & (F.col("published_at") >= F.lit(date_from).cast("timestamp"))
         if date_to is not None:
             cond = cond & (F.col("published_at") <= F.lit(date_to).cast("timestamp"))
-        return docs.filter(cond).select(
+        attrs = self._doc_attrs()
+        if attrs is not None:
+            return attrs.filter(cond).select("doc_id", "shard")
+        from ..index.build import shard_expr
+
+        return self._docs().filter(cond).select(
             "doc_id", shard_expr(self.n_shards).cast("int").alias("shard")
         )
 

@@ -49,17 +49,21 @@ def _parse_date(s: str | None):
     raise ValueError(f"bad date: {s!r} (use YYYY-MM-DD[THH:MM:SS])")
 
 
-class ServingContext:
-    """Everything a serving node keeps resident: preloaded postings,
-    doc-metadata projection, and the build-time embedding matrix."""
+class _Snapshot:
+    """One immutable resident snapshot: engine + doc metadata + embedding
+    matrix. Built off to the side and swapped into ServingContext with a
+    single attribute assignment, so a request racing a refresh sees either
+    the whole old state or the whole new one, never a mix."""
 
-    def __init__(self, spark, index_dir: str, dim: int = 64):
+    __slots__ = ("engine", "meta", "emb_ids", "emb", "cat_ids", "pub",
+                 "pub_ids")
+
+    def __init__(self, spark, index_dir: str):
         import os
 
         import pyarrow.dataset as ds
 
         self.engine = SearchEngine(spark, index_dir, preload=True)
-        self.dim = dim
         local = index_dir.rstrip("/").removeprefix("file:")
         cols = ["doc_id", "oid", "aid", "title", "text", "category",
                 "publisher", "url", "published_at"]
@@ -85,44 +89,112 @@ class ServingContext:
             self.meta = {
                 d: m for d, m in self.meta.items() if d not in denied
             }
+        # filter attribute index, built ONCE per snapshot (refresh), so a
+        # filtered request is O(log n + |slice|) array work instead of an
+        # O(n_docs) python loop per query (the r2 scale finding):
+        #   cat_ids:       category -> sorted doc_id array
+        #   pub / pub_ids: published_at-sorted parallel arrays (docs with
+        #                  no date excluded — a date filter never matches
+        #                  them, same as the reference's range query)
+        by_cat: dict[str, list] = {}
+        pub_pairs: list[tuple] = []
+        for doc_id, m in self.meta.items():
+            by_cat.setdefault(m["category"], []).append(doc_id)
+            if m["published_at"] is not None:
+                pub_pairs.append((m["published_at"], doc_id))
+        self.cat_ids = {
+            c: np.sort(np.asarray(v, dtype=np.int64))
+            for c, v in by_cat.items()
+        }
+        pub_pairs.sort()
+        self.pub = np.array([p for p, _ in pub_pairs],
+                            dtype="datetime64[us]")
+        self.pub_ids = np.asarray([d for _, d in pub_pairs], dtype=np.int64)
+
         self.emb_ids = None
         self.emb = None
         emb_dir = f"{local}/embeddings"
         if os.path.exists(emb_dir):
-            tbl = ds.dataset(
-                emb_dir, format="parquet", partitioning="hive"
-            ).to_table(columns=["doc_id", "embedding"])
+            emb_ds = ds.dataset(emb_dir, format="parquet",
+                                partitioning="hive")
+            # same committed-generation filter as docs — a compaction/merge
+            # retires an embedding gen with its doc gen, so deleted docs'
+            # vectors never re-enter knn/hybrid ranking
+            emb_filter = (
+                ds.field("gen").isin(committed)
+                if committed and "gen" in emb_ds.schema.names else None
+            )
+            tbl = emb_ds.to_table(columns=["doc_id", "embedding"],
+                                  filter=emb_filter)
             ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
             mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-            keep = np.array([i not in denied for i in ids.tolist()])
+            keep = np.array(
+                [i not in denied for i in ids.tolist()], dtype=bool
+            )
             self.emb_ids, self.emb = ids[keep], mat[keep]
+
+
+class ServingContext:
+    """Everything a serving node keeps resident: preloaded postings,
+    doc-metadata projection, and the build-time embedding matrix."""
+
+    def __init__(self, spark, index_dir: str, dim: int = 64):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.dim = dim
+        self._snap = _Snapshot(spark, index_dir)
+
+    # the resident state is read through properties so every consumer sees
+    # one _snap object per attribute access chain (handlers grab it once)
+    @property
+    def engine(self):
+        return self._snap.engine
+
+    @property
+    def meta(self):
+        return self._snap.meta
+
+    @property
+    def emb_ids(self):
+        return self._snap.emb_ids
+
+    @property
+    def emb(self):
+        return self._snap.emb
 
     def refresh(self) -> None:
         """Re-open at the latest committed snapshot (OpenSearch _refresh
-        analog): new generations/deletions become searchable in place."""
-        self.__init__(self.engine.spark, self.engine.index_dir, dim=self.dim)
+        analog): builds the new state OFF TO THE SIDE and swaps it in with
+        one attribute assignment — concurrent searches keep the old
+        snapshot until the swap and never observe a half-built context."""
+        self._snap = _Snapshot(self.spark, self.index_dir)
 
-    # -- candidate filter (driver-side: metadata already resident) --------
-    def _allowed(self, category, date_from, date_to):
+    # -- candidate filter (precomputed snapshot attribute index) ----------
+    @staticmethod
+    def _allowed(snap, category, date_from, date_to):
         if category is None and date_from is None and date_to is None:
             return None
-        out = []
-        for doc_id, m in self.meta.items():
-            if category is not None and m["category"] != category:
-                continue
-            pub = m["published_at"]
-            if date_from is not None and (pub is None or pub < date_from):
-                continue
-            if date_to is not None and (pub is None or pub > date_to):
-                continue
-            out.append(doc_id)
-        return np.array(sorted(out), dtype=np.int64)
+        base = None
+        if category is not None:
+            base = snap.cat_ids.get(category,
+                                    np.empty(0, dtype=np.int64))
+        if date_from is not None or date_to is not None:
+            i0 = (np.searchsorted(snap.pub, np.datetime64(date_from), "left")
+                  if date_from is not None else 0)
+            i1 = (np.searchsorted(snap.pub, np.datetime64(date_to), "right")
+                  if date_to is not None else snap.pub.size)
+            in_range = np.sort(snap.pub_ids[i0:i1])
+            base = in_range if base is None else np.intersect1d(
+                base, in_range, assume_unique=True
+            )
+        return base
 
-    def _knn(self, query_text: str, k: int, allowed) -> list[tuple[int, float]]:
-        if self.emb is None or self.emb_ids is None or not self.emb_ids.size:
+    def _knn(self, snap, query_text: str, k: int,
+             allowed) -> list[tuple[int, float]]:
+        if snap.emb is None or snap.emb_ids is None or not snap.emb_ids.size:
             return []
         qv = hash_embed(query_text, self.dim)
-        ids, mat = self.emb_ids, self.emb
+        ids, mat = snap.emb_ids, snap.emb
         if allowed is not None:
             idx = np.searchsorted(allowed, ids)
             idx_c = np.minimum(idx, max(allowed.size - 1, 0))
@@ -143,11 +215,12 @@ class ServingContext:
                category: str | None = None, date_from=None, date_to=None,
                threshold: float | None = None) -> dict:
         k = min(k, MAX_K)
-        allowed = self._allowed(category, date_from, date_to)
+        snap = self._snap  # one snapshot per request (refresh-safe)
+        allowed = self._allowed(snap, category, date_from, date_to)
         allowed_ids = allowed.tolist() if allowed is not None else None
 
         def bm25():
-            return self.engine.search(
+            return snap.engine.search(
                 q, k=k, min_score=threshold, mode="local",
                 allowed_ids=allowed_ids,
             )
@@ -155,17 +228,17 @@ class ServingContext:
         if mode in ("keyword", "bm25"):
             hits = bm25()
         elif mode in ("vector", "knn"):
-            hits = self._knn(q, k, allowed)
+            hits = self._knn(snap, q, k, allowed)
             if threshold is not None:
                 hits = [(d, s) for d, s in hits if s >= threshold]
         elif mode == "hybrid":
-            hits = hybrid_search(bm25(), self._knn(q, k, allowed), k=k)
+            hits = hybrid_search(bm25(), self._knn(snap, q, k, allowed), k=k)
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
         results = []
         for doc_id, score in hits:
-            m = self.meta.get(doc_id)
+            m = snap.meta.get(doc_id)
             if m is None:
                 continue
             text = m["text"] or ""
@@ -216,6 +289,21 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            # refresh mutates serving state → POST is the canonical verb
+            # (GET kept for back-compat with the reference's probe scripts)
+            u = urlparse(self.path)
+            if u.path == "/api/refresh":
+                try:
+                    ctx.refresh()
+                    self._send(200, {"refreshed": True,
+                                     "document_count": len(ctx.meta)})
+                except Exception as e:  # pragma: no cover - defensive 500
+                    self._send(500, {"error": f"Refresh failed: {e}",
+                                     "code": 500})
+            else:
+                self._send(404, {"error": "not found", "code": 404})
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)

@@ -73,8 +73,18 @@ def test_compact_physically_removes(spark, del_index):
     res = builder.compact()
     assert res["tombstones"] == 1
     assert res["compacted_gens"] == [0]
+    # survivors were rewritten into a FRESH generation (never in-place:
+    # stale dynamic-overwrite partitions are impossible by construction)
+    assert res["new_gens"] == [1]
+    assert builder.committed_generations() == [1]
     # tombstone set cleared
     assert builder.deleted_ids() == []
+    # the superseded gen 0 dirs survive for readers pinned to the previous
+    # snapshot; expiring it reclaims them
+    assert 0 in builder.generations()
+    gc = builder.vacuum(retain_snapshots=1)
+    assert gc["removed_gens"] == [0]
+    assert builder.generations() == [1]
 
     # physically gone from every table
     assert spark.read.parquet(f"{out}/docs").filter(

@@ -165,9 +165,11 @@ def test_manifest_snapshot_isolation(spark, tmp_path):
 
 
 def test_merge_generations(spark, tmp_path):
-    """Segment-merge analog: two generations + a tombstone consolidate to a
-    single generation 0 with rank-identity preserved, the tombstoned doc
-    physically gone, and all bound-correction factors back at 1."""
+    """Segment-merge analog: two generations + a tombstone consolidate to
+    ONE fresh generation with rank-identity preserved, the tombstoned doc
+    physically gone, and all bound-correction factors back at 1. The old
+    gen dirs survive until the retention window expires (pinned readers),
+    then vacuum reclaims them."""
     out = str(tmp_path / "merge_idx")
     b = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
     b.build(pages_df(spark, 200, partitions=2), fingerprint="m0")
@@ -178,11 +180,26 @@ def test_merge_generations(spark, tmp_path):
     victim = engine.search(q, k=3)[0][0]
     b.delete_docs([victim])
 
+    # a reader pinned BEFORE the merge must keep working afterwards
+    pinned = SearchEngine(spark, out)
+    pinned_before = pinned.search(q, k=10, mode="local")
+
     res = b.merge_generations()
     assert res["merged_gens"] == [0, 1]
     assert res["tombstones_applied"] == 1
-    assert b.generations() == [0]
+    new_gen = res["new_gen"]
+    assert new_gen == 2
+    assert b.committed_generations() == [new_gen]
     assert b.deleted_ids() == []
+
+    # old gens retained for the pinned reader, which still answers
+    assert set(b.generations()) == {0, 1, new_gen}
+    assert pinned.search(q, k=10, mode="local") == pinned_before
+
+    # expire the old snapshot: only the merged gen remains on disk
+    gc = b.vacuum(retain_snapshots=1)
+    assert gc["removed_gens"] == [0, 1]
+    assert b.generations() == [new_gen]
 
     docs = spark.read.parquet(f"{out}/docs")
     assert docs.filter(F.col("doc_id") == victim).isEmpty()
@@ -191,7 +208,7 @@ def test_merge_generations(spark, tmp_path):
     # avgdl (bound factor 1)
     from tests.conftest import stats_dir
     gm = spark.read.parquet(stats_dir(out, "gen_meta")).collect()
-    assert {r["gen"] for r in gm} == {0}
+    assert {r["gen"] for r in gm} == {new_gen}
 
     fresh = SearchEngine(spark, out)
     assert fresh._bound_factor == {} or all(
@@ -219,3 +236,44 @@ def test_interrupted_wave_resumes_its_own_gen(spark, tmp_path):
     m1b = b.build_incremental(pages_df(spark, 160, partitions=2), fingerprint="w1")
     assert m1b["gen"] == 1
     assert m1b.get("postings_built", 0) == 0  # nothing rebuilt
+
+
+def test_crashed_partial_gen_never_committed_then_gcd(spark, tmp_path):
+    """A crashed build's partial generation (garbage files, no manifest
+    entry) must (a) never be swept into the NEXT successful commit — the
+    committed list is carried through the manifest, not re-derived from a
+    directory listing — and (b) be reclaimed by GC at that commit, since
+    no retained snapshot references it."""
+    import json
+    import os
+
+    out = str(tmp_path / "crash_idx")
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    b.build(pages_df(spark, 150, partitions=2), fingerprint="c0")
+
+    # crash leaves garbage gen-1 dirs in docs AND postings; term_stats or
+    # the next commit reading these files would explode / corrupt the df
+    os.makedirs(f"{out}/postings/gen=1/shard=0", exist_ok=True)
+    with open(f"{out}/postings/gen=1/shard=0/junk.parquet", "wb") as f:
+        f.write(b"not parquet")
+    os.makedirs(f"{out}/docs/gen=1", exist_ok=True)
+    with open(f"{out}/docs/gen=1/junk.parquet", "wb") as f:
+        f.write(b"garbage")
+
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    b2.build_incremental(pages_df(spark, 260, partitions=2),
+                         fingerprint="c2")
+    with open(f"{out}/_manifest.json") as f:
+        m = json.load(f)
+    # the fresh wave took an UNUSED gen number; the crashed gen 1 is not in
+    # the committed list and its dirs are gone
+    assert 1 not in m["generations"]
+    assert m["generations"] == [0, 2]
+    assert not os.path.exists(f"{out}/docs/gen=1")
+    assert not os.path.exists(f"{out}/postings/gen=1")
+
+    engine = SearchEngine(spark, out)
+    q = make_query_set()[0]["query_text"]
+    assert _norm(engine.search(q, k=10, mode="local")) == _norm(
+        _oracle(spark, out).search(q, k=10)
+    )

@@ -131,3 +131,46 @@ def test_error_paths(server):
     assert code == 400 and "date" in body["error"]
     code, body = _get(f"{base}/nope")
     assert code == 404
+
+
+def _post(url):
+    req = urllib.request.Request(url, method="POST", data=b"")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode("utf-8"))
+
+
+def test_refresh_via_post_and_compaction_drops_vectors(spark, server):
+    """POST /api/refresh works (the canonical verb); after delete+compact a
+    refreshed node drops the doc's metadata AND its embedding vector, so
+    knn/hybrid can't waste slots on it (r2 advice: compaction must retire
+    embedding generations with their doc generations)."""
+    base, out = server
+    q = make_query_set()[1]["query_text"]
+    code, body = _get(
+        f"{base}/api/search?q={urllib.parse.quote(q)}&mode=knn&k=5"
+    )
+    assert code == 200 and body["total"] > 0
+    victim = body["results"][0]["id"]
+    oid, aid = victim.split("_")
+
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9,
+                     build_embeddings=True)
+    n = b.delete_by_query(f"oid = '{oid}' AND aid = '{aid}'")
+    assert n == 1
+    b.compact()
+
+    code, r = _post(f"{base}/api/refresh")
+    assert code == 200 and r["refreshed"]
+    code, after = _get(
+        f"{base}/api/search?q={urllib.parse.quote(q)}&mode=knn&k=5"
+    )
+    assert code == 200
+    assert all(res["id"] != victim for res in after["results"])
+    # full k results — the deleted vector freed its slot instead of being
+    # silently dropped at meta lookup
+    assert after["total"] == 5
+    code, nf = _post(f"{base}/api/nope")
+    assert code == 404

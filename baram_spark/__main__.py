@@ -204,7 +204,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from baram_spark.index.builder import read_gen_table
         from baram_spark.operators.clustering import (
             cluster_embeddings,
-            cluster_summaries,
+            event_clusters,
         )
 
         emb = read_gen_table(spark, args.index, "embeddings")
@@ -213,20 +213,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             emb, dim=dim, threshold=args.threshold, min_size=args.min_size,
             id_col="doc_id",
         )
-        summaries = cluster_summaries(clusters)
-        if args.out:
-            # S13 cluster JSON sink
-            summaries.write.mode("overwrite").json(args.out)
-            print(json.dumps({"clusters": summaries.count(), "out": args.out}))
-        else:
-            rows = summaries.limit(20).collect()
-            print(json.dumps({
-                "clusters": [
-                    {"cluster_id": r["cluster_id"], "n_docs": r["n_docs"],
-                     "doc_ids": r["doc_ids"][:10]}
-                    for r in rows
-                ]
-            }))
+        docs = read_gen_table(spark, args.index, "docs")
+        events = event_clusters(clusters, docs)
+        # S13 cluster JSON sink — default location is what the serving
+        # tier's /api/events reads (the clusters.json analog,
+        # serve.rs:570-627)
+        out = args.out or f"{args.index.rstrip('/')}/clusters"
+        events.write.mode("overwrite").json(out)
+        print(json.dumps({"clusters": events.count(), "out": out}))
     if owns_spark:
         spark.stop()
     return 0

@@ -183,6 +183,70 @@ def cluster_embeddings(
     )
 
 
+def event_clusters(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """EventCluster-shaped output (``clustering/models.rs:79-120`` +
+    ``engine.rs:99-122``): one row per cluster with event_id, title (the
+    earliest article's — the reference falls back to an article title when
+    no LLM summary exists), primary category (most frequent, deterministic
+    tie-break), article_count, first_seen/last_seen, and the article list
+    sorted by publication. This is what ``GET /api/events`` serves
+    (serve.rs:570-627)."""
+    joined = clusters.join(
+        docs.select("doc_id", "title", "category", "published_at",
+                    "oid", "aid", "url"),
+        "doc_id",
+    )
+    cat = (
+        joined.groupBy("cluster_id", "category")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(category, struct(cnt, category))")
+            .alias("category")
+        )
+    )
+    agg = joined.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("article_count"),
+        F.min("published_at").alias("first_seen"),
+        F.max("published_at").alias("last_seen"),
+        F.expr("min_by(title, struct(published_at, doc_id))").alias("title"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("published_at").alias("published_at"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.concat_ws("_", "oid", "aid").alias("id"),
+                    F.col("title").alias("title"),
+                    F.col("url").alias("url"),
+                )
+            )
+        ).alias("arts"),
+    )
+    return (
+        agg.join(cat, "cluster_id")
+        .select(
+            F.concat(
+                F.lit("evt_"),
+                F.lpad(F.col("cluster_id").cast("string"), 6, "0"),
+            ).alias("event_id"),
+            "title",
+            "category",
+            "article_count",
+            "first_seen",
+            "last_seen",
+            F.transform(
+                "arts",
+                lambda a: F.struct(
+                    a["id"].alias("id"),
+                    a["title"].alias("title"),
+                    a["url"].alias("url"),
+                ),
+            ).alias("articles"),
+        )
+        .orderBy(F.desc("article_count"), F.asc("event_id"))
+    )
+
+
 def cluster_summaries(clusters: DataFrame) -> DataFrame:
     """EventCluster-shaped output: one row per cluster ordered by size desc
     (engine.rs:99-122)."""

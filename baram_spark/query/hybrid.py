@@ -75,14 +75,29 @@ def embed_docs(docs: DataFrame, dim: int = DEFAULT_DIM,
     )
 
 
+def embed_query(query_text: str, dim: int = DEFAULT_DIM,
+                embed_fn=None) -> np.ndarray:
+    """Query-side embedding through the SAME swap point as the docs:
+    ``embed_fn(texts) -> 2-D array`` when a model is plugged in, else the
+    deterministic hashing-trick default. Always L2-normalized (cosine
+    scoring assumes a unit query vector)."""
+    if embed_fn is not None:
+        qv = np.asarray(embed_fn([query_text]), dtype=np.float64)[0]
+        n = np.linalg.norm(qv)
+        return qv / n if n > 0 else qv
+    return hash_embed(query_text, dim)
+
+
 def knn_search(embeddings: DataFrame, query_text: str, k: int = 10,
-               dim: int = DEFAULT_DIM) -> list[tuple[int, float]]:
-    """Exact cosine top-k of the query's hash-embedding (Q3).
+               dim: int = DEFAULT_DIM,
+               embed_fn=None) -> list[tuple[int, float]]:
+    """Exact cosine top-k of the query's embedding (Q3).
 
     Distributed scoring via mapInPandas partial top-k, merged on driver —
-    the same shape as the BM25 per-shard merge.
+    the same shape as the BM25 per-shard merge. ``embed_fn`` must be the
+    same model the index was built with (embed_docs).
     """
-    qv = hash_embed(query_text, dim)
+    qv = embed_query(query_text, dim, embed_fn)
 
     def score(iterator):
         for pdf in iterator:

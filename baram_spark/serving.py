@@ -33,7 +33,7 @@ import numpy as np
 
 from .query.bm25 import DEFAULT_K
 from .query.engine import MAX_K, SearchEngine
-from .query.hybrid import hash_embed, highlight, hybrid_search
+from .query.hybrid import embed_query, highlight, hybrid_search
 
 VERSION = "0.2.0"
 
@@ -56,7 +56,7 @@ class _Snapshot:
     the whole old state or the whole new one, never a mix."""
 
     __slots__ = ("engine", "meta", "emb_ids", "emb", "cat_ids", "pub",
-                 "pub_ids")
+                 "pub_ids", "events")
 
     def __init__(self, spark, index_dir: str):
         import os
@@ -133,15 +133,38 @@ class _Snapshot:
             )
             self.emb_ids, self.emb = ids[keep], mat[keep]
 
+        # event clusters (the clusters.json analog, written by the
+        # `cluster` subcommand) — small, resident, served by /api/events
+        self.events: list[dict] = []
+        ev_dir = f"{local}/clusters"
+        if os.path.isdir(ev_dir):
+            import glob
+
+            for p in sorted(glob.glob(f"{ev_dir}/part-*.json")
+                            + glob.glob(f"{ev_dir}/part-*.txt")):
+                with open(p, encoding="utf-8") as f:
+                    for line in f:
+                        line = line.strip()
+                        if line:
+                            self.events.append(json.loads(line))
+            self.events.sort(
+                key=lambda e: (-int(e.get("article_count", 0)),
+                               e.get("event_id", ""))
+            )
+
 
 class ServingContext:
     """Everything a serving node keeps resident: preloaded postings,
     doc-metadata projection, and the build-time embedding matrix."""
 
-    def __init__(self, spark, index_dir: str, dim: int = 64):
+    def __init__(self, spark, index_dir: str, dim: int = 64, embed_fn=None):
         self.spark = spark
         self.index_dir = index_dir
         self.dim = dim
+        # the query-side model swap point — MUST be the model the index's
+        # embeddings were built with (IndexBuilder(embed_fn=...)); default
+        # is the deterministic hashing-trick stand-in
+        self.embed_fn = embed_fn
         self._snap = _Snapshot(spark, index_dir)
 
     # the resident state is read through properties so every consumer sees
@@ -161,6 +184,10 @@ class ServingContext:
     @property
     def emb(self):
         return self._snap.emb
+
+    @property
+    def events(self):
+        return self._snap.events
 
     def refresh(self) -> None:
         """Re-open at the latest committed snapshot (OpenSearch _refresh
@@ -193,7 +220,7 @@ class ServingContext:
              allowed) -> list[tuple[int, float]]:
         if snap.emb is None or snap.emb_ids is None or not snap.emb_ids.size:
             return []
-        qv = hash_embed(query_text, self.dim)
+        qv = embed_query(query_text, self.dim, self.embed_fn)
         ids, mat = snap.emb_ids, snap.emb
         if allowed is not None:
             idx = np.searchsorted(allowed, ids)
@@ -264,6 +291,29 @@ class ServingContext:
         return {"query": q, "mode": mode, "total": len(results),
                 "results": results}
 
+    # -- event clusters (serve.rs:570-627 analog) -------------------------
+    def list_events(self, category: str | None = None, offset: int = 0,
+                    limit: int = 20) -> dict:
+        snap = self._snap
+        if not snap.events:
+            return {"total": 0, "events": [],
+                    "message": ("No clusters found. Run "
+                                "'python -m baram_spark cluster' first to "
+                                "generate event clusters.")}
+        evs = [e for e in snap.events
+               if category is None or e.get("category") == category]
+        total = len(evs)
+        limit = max(0, min(limit, 200))  # reference caps page size at 200
+        offset = max(0, min(offset, total))
+        return {"total": total, "offset": offset, "limit": limit,
+                "events": evs[offset:offset + limit]}
+
+    def get_event(self, event_id: str) -> dict | None:
+        for e in self._snap.events:
+            if e.get("event_id") == event_id:
+                return e
+        return None
+
     def health(self) -> dict:
         return {
             "status": "ok",
@@ -315,6 +365,21 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
                     ctx.refresh()
                     self._send(200, {"refreshed": True,
                                      "document_count": len(ctx.meta)})
+                elif u.path == "/api/events":
+                    self._send(200, ctx.list_events(
+                        category=qs.get("category"),
+                        offset=int(qs.get("offset", 0)),
+                        limit=int(qs.get("limit", 20)),
+                    ))
+                elif u.path.startswith("/api/events/"):
+                    eid = u.path.rsplit("/", 1)[1]
+                    ev = ctx.get_event(eid)
+                    if ev is None:
+                        self._send(404, {
+                            "error": f"Event '{eid}' not found", "code": 404,
+                        })
+                    else:
+                        self._send(200, ev)
                 elif u.path == "/api/search":
                     q = (qs.get("q") or "").strip()
                     if not q:

@@ -174,3 +174,58 @@ def test_refresh_via_post_and_compaction_drops_vectors(spark, server):
     assert after["total"] == 5
     code, nf = _post(f"{base}/api/nope")
     assert code == 404
+
+
+def test_events_endpoint(spark, server):
+    """GET /api/events (serve.rs:570-627 analog): empty-state message,
+    category filter, offset/limit pagination (cap 200), and the
+    /api/events/<id> detail + 404 paths."""
+    base, out = server
+    code, body = _get(f"{base}/api/events")
+    if body.get("total", 0) == 0:
+        assert "message" in body  # no clusters generated yet
+
+    from baram_spark.__main__ import main
+    assert main(["cluster", "--index", out, "--threshold", "0.3"],
+                spark=spark) == 0
+    code, r = _post(f"{base}/api/refresh")
+    assert code == 200
+
+    code, body = _get(f"{base}/api/events?limit=2")
+    assert code == 200
+    assert body["total"] >= 1
+    assert len(body["events"]) <= 2
+    ev = body["events"][0]
+    assert set(ev) >= {"event_id", "title", "category", "article_count",
+                       "first_seen", "last_seen", "articles"}
+    assert ev["article_count"] == len(ev["articles"])
+    # size-desc ordering
+    counts = [e["article_count"] for e in body["events"]]
+    assert counts == sorted(counts, reverse=True)
+
+    # pagination walks without overlap
+    code, p0 = _get(f"{base}/api/events?limit=1&offset=0")
+    code, p1 = _get(f"{base}/api/events?limit=1&offset=1")
+    if p0["events"] and p1["events"]:
+        assert p0["events"][0]["event_id"] != p1["events"][0]["event_id"]
+
+    # category filter returns only that category (pick a NON-empty one —
+    # an empty query value parses as "no filter", and most synthetic pages
+    # carry no category breadcrumb)
+    code, allb = _get(f"{base}/api/events?limit=200")
+    named = [e for e in allb["events"] if e["category"]]
+    if named:
+        cat = named[0]["category"]
+        code, fc = _get(
+            f"{base}/api/events?category={urllib.parse.quote(cat)}"
+        )
+        assert fc["total"] >= 1
+        assert all(e["category"] == cat for e in fc["events"])
+    code, none = _get(f"{base}/api/events?category=definitely-not-a-cat")
+    assert none["total"] == 0
+
+    # detail + 404
+    code, detail = _get(f"{base}/api/events/{ev['event_id']}")
+    assert code == 200 and detail["event_id"] == ev["event_id"]
+    code, missing = _get(f"{base}/api/events/evt_999999")
+    assert code == 404

@@ -501,8 +501,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def q_sessionize(spark, sf_dir):
+        # event-time session windows over the events table (native
+        # session_window; batch mode — watermark is a no-op). Session
+        # closes after 30 min of EVENT-time silence; end = last + gap.
+        from baram_spark.streaming.windows import sessionize_event_time
+
+        return sessionize_event_time(
+            _t(spark, sf_dir, "events"), gap_minutes=30
+        ).orderBy("user_id", "session_start")
+
     return {
         "doc_tf": q_doc_tf,
+        "sessionize": q_sessionize,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25,
@@ -568,6 +579,29 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "doc_tf": f"{_TOKS} SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1,2",
+        # gaps-and-islands sessionization; break on STRICTLY > gap because
+        # Spark's session_window merges touching windows (end-exclusive)
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+            ), s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
         "term_df": f"""{_TOKS}, tf AS (SELECT doc_id, term FROM toks2 GROUP BY 1,2)
             SELECT term, count(*) AS df FROM tf GROUP BY 1""",
         "corpus_stats": f"""{_TOKS}, dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1)

@@ -6,14 +6,15 @@ Arrow UDF signatures — for decode / feature-extract / resize / frame-sample.
 
 Decode support is two-tier:
 
-- **Real decoders** (pure stdlib + numpy, no external codecs needed) for
-  uncompressed formats: 24-bit BMP and binary PPM (P6) images, PCM WAV
-  audio. These produce real pixel/sample arrays; features and resize
-  operate on actual decoded data.
-- **Deterministic stub** for compressed formats (JPEG/PNG/MP3/MP4) whose
-  codecs (PIL/ffmpeg/torchaudio) are NOT in this container — clearly
-  marked in ``_decode_stub``; swap its body for a real decoder in
-  production. The ``decoded`` output column records which tier ran.
+- **Real decoders** (pure stdlib + numpy, no external codecs needed):
+  24-bit BMP, binary PPM (P6), and PNG (zlib inflate + scanline
+  unfiltering; 8-bit gray/RGB/palette/alpha, non-interlaced) images, and
+  PCM WAV audio. These produce real pixel/sample arrays; features and
+  resize operate on actual decoded data.
+- **Deterministic stub** for formats whose codecs (PIL/ffmpeg/torchaudio)
+  are NOT in this container (JPEG/MP3/MP4) — clearly marked in
+  ``_decode_stub``; swap its body for a real decoder in production. The
+  ``decoded`` output column records which tier ran.
 """
 
 from __future__ import annotations
@@ -47,9 +48,9 @@ RESIZED_SCHEMA = (
 # -- real decoders (uncompressed formats; stdlib + numpy only) --------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode 24-bit BMP or binary PPM (P6) → HxWx3 uint8 RGB.
+    """Decode 24-bit BMP, binary PPM (P6), or PNG → HxWx3 uint8 RGB.
 
-    Raises ValueError for formats needing external codecs (JPEG/PNG...)."""
+    Raises ValueError for formats needing external codecs (JPEG...)."""
     if payload[:2] == b"BM":
         off = struct.unpack_from("<I", payload, 10)[0]
         w = struct.unpack_from("<i", payload, 18)[0]
@@ -85,7 +86,94 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.frombuffer(
             payload, np.uint8, count=w * h * 3, offset=pos
         ).reshape(h, w, 3)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise ValueError("compressed image format — needs an external codec")
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib ``zlib`` + numpy: chunk walk, inflate
+    the IDAT stream, undo the per-scanline filters (None/Sub/Up/Average/
+    Paeth), map color types gray/RGB/palette/gray+alpha/RGBA → HxWx3 RGB.
+    8-bit depth, non-interlaced (the overwhelmingly common web case);
+    16-bit and Adam7 raise like any other unsupported codec."""
+    import zlib
+
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth depend on the reconstructed left pixel
+            recon = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    recon[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    recon[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    recon[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    px = out.reshape(h, w, channels)
+    if ctype == 0:  # grayscale
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ctype == 2:  # RGB
+        return np.ascontiguousarray(px)
+    if ctype == 3:  # palette
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[px[..., 0]])
+    if ctype == 4:  # gray + alpha → gray 3ch
+        return np.ascontiguousarray(np.repeat(px[..., :1], 3, axis=2))
+    return np.ascontiguousarray(px[..., :3])  # RGBA → RGB
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:

@@ -41,7 +41,7 @@ OPERATOR_QUERIES = [
     "trend_slope", "spike_zscore", "minmax_normalize", "top_trending",
     "dedup_exact", "minhash_signatures", "simhash", "knn_cosine",
     "token_counts", "quality_scores", "fingerprint", "language_id",
-    "chunking", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
+    "chunking", "sessionize", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
     "anti_join_dedup", "json_extract",
 ]
 SMALL_RESULT = {"bm25_topk", "bm25_topk_filtered", "top_trending",

@@ -70,6 +70,23 @@ def main() -> None:
         pages_df(spark, N_DOCS, partitions=int(CPUS) * 2).write.parquet(pages_path)
         pages = spark.read.parquet(pages_path)
 
+        # warm the python-worker pool + JIT before timing (same methodology
+        # as scripts/scaling_bench.py): a long-lived cluster's workers are
+        # warm — process spawn + pandas/numpy/baram imports and first-call
+        # JIT are cold-start costs, not what the build pipeline does.
+        import pandas as _pd
+
+        def _warm(it):
+            from baram_spark.textproc.analyzer import analyze_index
+            from baram_spark.textproc.extract import extract_batch  # noqa: F401
+
+            for pdf in it:
+                analyze_index("워밍업 warm")
+                yield _pd.DataFrame({"x": [len(pdf)]})
+
+        n_warm = int(CPUS) * 2
+        spark.range(0, n_warm, 1, n_warm).mapInPandas(_warm, "x long").count()
+
         builder = IndexBuilder(
             spark, f"{work}/idx", n_shards=8,
             salt_threshold=max(N_DOCS // 8, 1000), shard_concurrency=4,

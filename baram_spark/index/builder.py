@@ -95,6 +95,13 @@ def read_gen_table(spark: SparkSession, index_dir: str, table: str,
     return spark.read.parquet(base)
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed a snapshot after this operation began —
+    committing would silently drop its generations (lost update). The
+    caller should re-open the index and retry (Iceberg's optimistic-
+    concurrency contract)."""
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -653,6 +660,11 @@ class IndexBuilder:
         gens = committed_gens(self.out)
         return gens if gens is not None else self.generations()
 
+    def _begin(self) -> int:
+        """Snapshot id this operation bases its commit on (optimistic
+        concurrency: the commit aborts if another writer advanced it)."""
+        return int((self._read_manifest() or {}).get("snapshot_id", 0))
+
     def _next_gen(self) -> int:
         """First generation number unused by ANY on-disk dir or gen_meta
         row — never reuses a number a pinned reader might still resolve."""
@@ -679,7 +691,8 @@ class IndexBuilder:
                 pass
         return (max(used) + 1) if used else 0
 
-    def _commit_manifest(self, gens: list[int] | None = None) -> None:
+    def _commit_manifest(self, gens: list[int] | None = None,
+                         base_sid: int | None = None) -> None:
         """Snapshot-atomic commit point (the Iceberg-manifest analog for
         the parquet layout): a single ``_manifest.json`` swapped via
         tmp+rename AFTER a generation's postings + stats are complete.
@@ -698,11 +711,23 @@ class IndexBuilder:
         import uuid
 
         prev = self._read_manifest()
+        cur_sid = int((prev or {}).get("snapshot_id", 0))
+        if base_sid is not None and cur_sid != base_sid:
+            # optimistic concurrency (the Iceberg commit contract): another
+            # writer advanced the snapshot while this operation ran, and
+            # our gens list was derived from the OLD snapshot — committing
+            # would drop its generations. Abort; caller re-opens + retries.
+            # (The check narrows the race to the re-read→rename window;
+            # a real deployment serializes the swap behind a catalog/lock.)
+            raise SnapshotConflictError(
+                f"snapshot advanced {base_sid} → {cur_sid} during this "
+                f"operation; re-open the index and retry"
+            )
         if gens is None:
             # legacy/back-compat path: directory listing
             gens = self.generations()
         gens = sorted({int(g) for g in gens})
-        sid = int((prev or {}).get("snapshot_id", 0)) + 1
+        sid = cur_sid + 1
         history = list((prev or {}).get("history", []))
         history.append({"snapshot_id": sid, "generations": gens})
         history = history[-self.retain_snapshots:]
@@ -805,6 +830,7 @@ class IndexBuilder:
     def build(self, pages: DataFrame, fingerprint: str,
               resume: bool = True) -> dict:
         """Fresh build (generation 0); returns throughput metrics."""
+        base_sid = self._begin()
         self._write_index_meta()
         done = self.ledger.completed(fingerprint) if resume else set()
         metrics: dict = {"fingerprint": fingerprint, "gen": 0,
@@ -816,7 +842,7 @@ class IndexBuilder:
         gens = sorted(set(self.committed_generations()) | {0})
         self._stage_term_stats("term_stats", fingerprint, done, metrics,
                                gens=gens)
-        self._commit_manifest(gens)
+        self._commit_manifest(gens, base_sid=base_sid)
         return metrics
 
     def build_incremental(self, pages: DataFrame, fingerprint: str,
@@ -828,6 +854,7 @@ class IndexBuilder:
         dedup/checkpoint tier. Re-running with the same fingerprint resumes
         at per-shard granularity like the base build.
         """
+        base_sid = self._begin()
         self._write_index_meta()
         done = self.ledger.completed(fingerprint) if resume else set()
         # resume within the same fingerprint keeps ITS generation number
@@ -872,13 +899,13 @@ class IndexBuilder:
                 ignore_errors=True,
             )
             metrics["postings_built"] = 0
-            self._commit_manifest(committed_before)
+            self._commit_manifest(committed_before, base_sid=base_sid)
             return metrics
         self._stage_postings(gen, stage("postings"), fingerprint, done, metrics)
         gens = sorted(set(committed_before) | {gen})
         self._stage_term_stats(stage("term_stats"), fingerprint, done,
                                metrics, gens=gens)
-        self._commit_manifest(gens)
+        self._commit_manifest(gens, base_sid=base_sid)
         return metrics
 
     # -- deletion (delete_by_query analog, mod.rs:768-818) -----------------
@@ -953,6 +980,7 @@ class IndexBuilder:
         import shutil
         import time as _time
 
+        base_sid = self._begin()
         deleted = self.deleted_ids()
         result = {"tombstones": len(deleted), "compacted_gens": [],
                   "dropped_gens": [], "new_gens": []}
@@ -1006,7 +1034,7 @@ class IndexBuilder:
                                    gens=new_committed)
         # commit FIRST: a crash before the manifest swap must leave the
         # old snapshot live WITH its tombstones still excluding docs
-        self._commit_manifest(new_committed)
+        self._commit_manifest(new_committed, base_sid=base_sid)
         shutil.rmtree(
             self.deletes_path.removeprefix("file:"), ignore_errors=True
         )
@@ -1031,6 +1059,7 @@ class IndexBuilder:
         import shutil
         import time as _time
 
+        base_sid = self._begin()
         gens = self.committed_generations()
         deleted = self.deleted_ids()
         if len(gens) <= 1 and not deleted:
@@ -1081,7 +1110,7 @@ class IndexBuilder:
             )
         self._stage_term_stats(f"term_stats.{fp}", fp, set(), {},
                                gens=[new_gen])
-        self._commit_manifest([new_gen])
+        self._commit_manifest([new_gen], base_sid=base_sid)
         shutil.rmtree(
             self.deletes_path.removeprefix("file:"), ignore_errors=True
         )

@@ -7,14 +7,16 @@ Arrow UDF signatures — for decode / feature-extract / resize / frame-sample.
 Decode support is two-tier:
 
 - **Real decoders** (pure stdlib + numpy, no external codecs needed):
-  24-bit BMP, binary PPM (P6), and PNG (zlib inflate + scanline
-  unfiltering; 8-bit gray/RGB/palette/alpha, non-interlaced) images, and
-  PCM WAV audio. These produce real pixel/sample arrays; features and
-  resize operate on actual decoded data.
-- **Deterministic stub** for formats whose codecs (PIL/ffmpeg/torchaudio)
-  are NOT in this container (JPEG/MP3/MP4) — clearly marked in
-  ``_decode_stub``; swap its body for a real decoder in production. The
-  ``decoded`` output column records which tier ran.
+  24-bit BMP, binary PPM (P6), PNG (zlib inflate + scanline unfiltering;
+  8-bit gray/RGB/palette/alpha, non-interlaced), and baseline JPEG
+  (SOF0: huffman entropy decode, dequant + de-zigzag, matrix IDCT,
+  chroma upsampling, restart markers) images, and PCM WAV audio. These
+  produce real pixel/sample arrays; features and resize operate on
+  actual decoded data.
+- **Deterministic stub** for formats whose codecs (ffmpeg/torchaudio)
+  are NOT in this container (MP3/MP4, progressive JPEG) — clearly marked
+  in ``_decode_stub``; swap its body for a real decoder in production.
+  The ``decoded`` output column records which tier ran.
 """
 
 from __future__ import annotations
@@ -48,9 +50,9 @@ RESIZED_SCHEMA = (
 # -- real decoders (uncompressed formats; stdlib + numpy only) --------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode 24-bit BMP, binary PPM (P6), or PNG → HxWx3 uint8 RGB.
-
-    Raises ValueError for formats needing external codecs (JPEG...)."""
+    """Decode 24-bit BMP, binary PPM (P6), PNG, or baseline JPEG →
+    HxWx3 uint8 RGB. Raises ValueError for formats needing external
+    codecs (progressive JPEG, video frames...)."""
     if payload[:2] == b"BM":
         off = struct.unpack_from("<I", payload, 10)[0]
         w = struct.unpack_from("<i", payload, 18)[0]
@@ -88,6 +90,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         ).reshape(h, w, 3)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise ValueError("compressed image format — needs an external codec")
 
 
@@ -174,6 +178,259 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ctype == 4:  # gray + alpha → gray 3ch
         return np.ascontiguousarray(np.repeat(px[..., :1], 3, axis=2))
     return np.ascontiguousarray(px[..., :3])  # RGBA → RGB
+
+
+
+# JPEG support tables/matrices (ITU-T T.81 baseline)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: IDCT(coef) = C.T @ coef @ C."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment (already
+    byte-unstuffed: 0xFF 0x00 -> 0xFF)."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return 0  # pad past end (spec: fill bits)
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1: map the t-bit magnitude to its signed value
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0) decode with stdlib + numpy: marker parse,
+    huffman-decoded DCT coefficients, dequantize + de-zigzag, matrix
+    IDCT, chroma upsampling (any 1-2 h/v factors), YCbCr->RGB. Restart
+    markers supported; progressive (SOF2) and arithmetic coding raise."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    w = h = None
+    restart_interval = 0
+    scan = None
+    scan_comps: list[dict] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(payload[pos:pos + 2], "big")
+        seg = payload[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:  # 16-bit table
+                    tbl = np.frombuffer(
+                        seg, ">u2", count=64, offset=i
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(
+                        seg, np.uint8, count=64, offset=i
+                    ).astype(np.int64)
+                    i += 64
+                qt[tq] = tbl
+        elif marker == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            n = seg[5]
+            for c in range(n):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline JPEG (SOF0) supported, got SOF{marker & 0xF}"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1:i + 17])
+                i += 17
+                table: dict = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            scan_start = pos + ln
+            # entropy-coded data runs to the next non-RST marker
+            end = scan_start
+            while end < len(payload) - 1:
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00,
+                ) and not (0xD0 <= payload[end + 1] <= 0xD7):
+                    break
+                end += 1
+            scan = payload[scan_start:end]
+            pos = end
+            continue
+        pos += ln
+    if w is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                          dtype=np.float64)
+        for c in scan_comps
+    }
+
+    # split at restart markers, unstuff each segment
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan):
+        b = scan[i]
+        if b == 0xFF and i + 1 < len(scan):
+            nxt = scan[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    bits = _JpegBits(segments[0])
+    seg_idx = 0
+    pred = {c["id"]: 0 for c in scan_comps}
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            bits = _JpegBits(segments[seg_idx])
+            pred = {c["id"]: 0 for c in scan_comps}
+        my, mx = divmod(mcu, mcux)
+        for c in scan_comps:
+            dq = qt[c["tq"]]
+            dc_tbl = huff[(0, c["dc"])]
+            ac_tbl = huff[(1, c["ac"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    t = _huff_decode(bits, dc_tbl)
+                    diff = _extend(bits.bits(t), t)
+                    pred[c["id"]] += diff
+                    coef[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, ac_tbl)
+                        r, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _extend(bits.bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = coef * dq
+                    px = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+
+    # upsample to full res, crop, color-convert
+    full = []
+    for c in scan_comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[..., None], 3, axis=2))
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:

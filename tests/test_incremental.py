@@ -277,3 +277,33 @@ def test_crashed_partial_gen_never_committed_then_gcd(spark, tmp_path):
     assert _norm(engine.search(q, k=10, mode="local")) == _norm(
         _oracle(spark, out).search(q, k=10)
     )
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency (the Iceberg commit contract): an operation
+    whose base snapshot was advanced by another writer must ABORT at
+    commit instead of silently dropping the other writer's generations."""
+    import pytest as _pytest
+
+    from baram_spark.index.builder import SnapshotConflictError
+
+    out = str(tmp_path / "occ_idx")
+    a = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    a.build(pages_df(spark, 150, partitions=2), fingerprint="occ0")
+
+    # writer A begins an operation against snapshot 1...
+    base = a._begin()
+    # ...writer B commits snapshot 2 meanwhile
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=100)
+    b.build_incremental(pages_df(spark, 220, partitions=2),
+                        fingerprint="occ-b")
+    assert b.committed_generations() == [0, 1]
+
+    # A's commit (carrying only its stale view) must now fail loudly
+    with _pytest.raises(SnapshotConflictError):
+        a._commit_manifest([0], base_sid=base)
+
+    # and B's generation survives untouched
+    assert b.committed_generations() == [0, 1]
+    engine = SearchEngine(spark, out)
+    assert engine._committed == [0, 1]

@@ -293,3 +293,92 @@ def test_png_flows_through_feature_pipeline(spark):
     assert row["ok"] and row["decoded"]
     exp = image_features(decode_image(payload))
     assert np.allclose(np.array(row["feat"]), exp.astype(np.float32))
+
+
+# -- MP4 container-level frame sampling --------------------------------------
+
+def _build_mp4(samples, timescale=1000, spc=2):
+    """Minimal ISO-BMFF file: ftyp + mdat carrying the given sample byte
+    strings + a moov with real stts/stsz/stsc/stco tables (chunks of
+    ``spc`` samples, 100 ticks per sample)."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    mdat_start = len(ftyp) + 8  # offset of first sample byte in file
+
+    n = len(samples)
+    stts = box(b"stts", struct.pack(">II", 0, 1)
+               + struct.pack(">II", n, 100))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+               + b"".join(struct.pack(">I", len(s)) for s in samples))
+    n_chunks = -(-n // spc)
+    stsc = box(b"stsc", struct.pack(">II", 0, 1)
+               + struct.pack(">III", 1, spc, 1))
+    offs, pos = [], mdat_start
+    for c in range(n_chunks):
+        offs.append(pos)
+        for s in samples[c * spc:(c + 1) * spc]:
+            pos += len(s)
+    stco = box(b"stco", struct.pack(">II", 0, n_chunks)
+               + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = box(b"stbl", stts + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, n * 100)
+               + struct.pack(">HH", 0x55C4, 0))
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+               + b"\x00" * 12 + b"vid\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, n * 100)
+               + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_parse_mp4_sample_table():
+    from baram_spark.operators.multimodal import parse_mp4
+
+    samples = [bytes([i]) * (10 + i) for i in range(7)]
+    payload = _build_mp4(samples)
+    info = parse_mp4(payload)
+    assert info["duration_ms"] == 700
+    (trk,) = info["tracks"]
+    assert trk["handler"] == "vide" and trk["n_samples"] == 7
+    assert len(trk["samples"]) == 7
+    for i, (ts, off, sz) in enumerate(trk["samples"]):
+        assert ts == i * 100
+        assert payload[off:off + sz] == samples[i], i
+
+
+def test_sample_frames_real_mp4_bytes(spark):
+    """MP4 payloads get container-level REAL sampling: the fingerprint is
+    the sha256 of the actual coded-sample bytes at the real timestamp
+    (decoded=true); non-MP4 payloads keep the stub (decoded=false)."""
+    from baram_spark.operators.multimodal import sample_frames
+
+    samples = [bytes([i]) * 64 for i in range(10)]
+    payload = _build_mp4(samples)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(payload), "video/mp4", None, None, 1000),
+            (2, "video", bytearray(b"\x00not-an-mp4"), "video/x-fake",
+             None, None, 3000),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    rows = sample_frames(media, every_ms=300, max_frames=8).collect()
+    real = [r for r in rows if r["media_id"] == 1]
+    stub = [r for r in rows if r["media_id"] == 2]
+    assert real and all(r["decoded"] for r in real)
+    assert stub and all(not r["decoded"] for r in stub)
+    # every real fingerprint is the hash of the ACTUAL nearest sample
+    for r in real:
+        idx = r["ts_ms"] // 100
+        assert r["frame_sha"] == hashlib.sha256(samples[idx]).hexdigest()
+        assert r["ts_ms"] % 100 == 0

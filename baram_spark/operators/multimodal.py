@@ -456,6 +456,72 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+# MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables (ISO 11172-3)
+_MP3_BITRATE = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 0],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160, 0],
+}
+_MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """REAL MP3 container/frame-header parse (stdlib only): skip ID3v2,
+    walk MPEG audio frame headers (sync, version, layer, bitrate,
+    sample rate, padding), and return duration/bitrate/rate metadata —
+    1152 (MPEG-1) or 576 (MPEG-2/2.5) samples per Layer-III frame. The
+    audio payload decode (huffman + IMDCT) stays out of scope."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    total_ms = 0.0
+    bitrates = []
+    sample_rate = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            pos += 1
+            continue
+        h1, h2 = payload[pos + 1], payload[pos + 2]
+        ver_bits = (h1 >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_bits = (h1 >> 1) & 0x3  # 1 = Layer III
+        if ver_bits == 1 or layer_bits != 1:
+            pos += 1
+            continue
+        version = {3: 1, 2: 2, 0: 0}[ver_bits]
+        br_idx = (h2 >> 4) & 0xF
+        sr_idx = (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 1
+        if sr_idx == 3 or br_idx in (0, 15):
+            pos += 1
+            continue
+        table = _MP3_BITRATE[(1, 3)] if version == 1 else _MP3_BITRATE[(2, 3)]
+        bitrate = table[br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        spf = 1152 if version == 1 else 576
+        frame_len = spf // 8 * bitrate // rate + padding
+        if frame_len <= 4:
+            pos += 1
+            continue
+        n_frames += 1
+        total_ms += spf * 1000.0 / rate
+        bitrates.append(bitrate)
+        sample_rate = rate
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "n_frames": n_frames,
+        "duration_ms": int(round(total_ms)),
+        "sample_rate": sample_rate,
+        "bitrate_kbps": int(round(sum(bitrates) / len(bitrates) / 1000)),
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
 def resize_image(px: np.ndarray, w: int, h: int) -> np.ndarray:
     """Nearest-neighbor resize (pure numpy index math)."""
     sh, sw = px.shape[:2]
@@ -548,6 +614,78 @@ def extract_features(media: DataFrame, feat_dim: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "media_id long, container string, duration_ms int, sample_rate int, "
+    "bitrate_kbps int, n_frames int, ok boolean"
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Audio container metadata (Arrow-batched, narrow): REAL header
+    parses for PCM WAV (wave module) and MP3 (``parse_mp3`` frame walk) —
+    duration, sample rate, bitrate, frame/sample count. Unknown
+    containers come back ok=false."""
+
+    def run(iterator):
+        for pdf in iterator:
+            out = {k: [] for k in ("media_id", "container", "duration_ms",
+                                   "sample_rate", "bitrate_kbps",
+                                   "n_frames", "ok")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                row = dict(container=None, duration_ms=None,
+                           sample_rate=None, bitrate_kbps=None,
+                           n_frames=None, ok=False)
+                try:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        with wave.open(io.BytesIO(raw)) as wf:
+                            n = wf.getnframes()
+                            rate = wf.getframerate()
+                            byps = wf.getsampwidth() * wf.getnchannels()
+                            row = dict(
+                                container="wav",
+                                duration_ms=int(n * 1000 / rate),
+                                sample_rate=rate,
+                                bitrate_kbps=int(rate * byps * 8 / 1000),
+                                n_frames=n, ok=True,
+                            )
+                    elif raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb",
+                                                          b"\xff\xfa",
+                                                          b"\xff\xf3",
+                                                          b"\xff\xf2"):
+                        info = parse_mp3(raw)
+                        row = dict(
+                            container="mp3",
+                            duration_ms=info["duration_ms"],
+                            sample_rate=info["sample_rate"],
+                            bitrate_kbps=info["bitrate_kbps"],
+                            n_frames=info["n_frames"], ok=True,
+                        )
+                except Exception:
+                    pass
+                out["media_id"].append(mid)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "container": out["container"],
+                    "duration_ms": pd.Series(out["duration_ms"],
+                                             dtype="Int32"),
+                    "sample_rate": pd.Series(out["sample_rate"],
+                                             dtype="Int32"),
+                    "bitrate_kbps": pd.Series(out["bitrate_kbps"],
+                                              dtype="Int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="Int32"),
+                    "ok": pd.Series(out["ok"], dtype="bool"),
+                }
+            )
+
+    return media.filter("kind = 'audio'").mapInPandas(
+        run, schema=AUDIO_META_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -382,3 +382,74 @@ def test_sample_frames_real_mp4_bytes(spark):
         idx = r["ts_ms"] // 100
         assert r["frame_sha"] == hashlib.sha256(samples[idx]).hexdigest()
         assert r["ts_ms"] % 100 == 0
+
+
+def test_parse_mp3_frames():
+    """Real MPEG-1 Layer III frame-header walk: ID3v2 skipped, CBR and VBR
+    frame lengths computed from the bitrate/sample-rate tables, duration
+    from samples-per-frame."""
+    from baram_spark.operators.multimodal import parse_mp3
+
+    def frame(br_idx, padding=0):
+        n = 144 * [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                   256, 320, 0][br_idx] * 1000 // 44100 + padding
+        return bytes([0xFF, 0xFB, (br_idx << 4) | (padding << 1), 0x00]) \
+            + b"\xAA" * (n - 4)
+
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 12]) + b"\x00" * 12
+    cbr = id3 + b"".join(frame(9) for _ in range(10))  # 128 kbps
+    info = parse_mp3(cbr)
+    assert info["n_frames"] == 10
+    assert info["sample_rate"] == 44100
+    assert info["bitrate_kbps"] == 128 and not info["vbr"]
+    assert abs(info["duration_ms"] - 10 * 1152 * 1000 / 44100) <= 1
+
+    vbr = b"".join(frame(9 if i % 2 else 12, padding=i % 2)
+                   for i in range(8))
+    info = parse_mp3(vbr)
+    assert info["n_frames"] == 8 and info["vbr"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_mp3(b"\x00\x01\x02 definitely not audio")
+
+
+def test_audio_metadata_operator(spark):
+    """audio_metadata: real WAV + MP3 header parses through the Spark
+    surface; unknown containers ok=false."""
+    import io as _io
+    import wave as _wave
+
+    from baram_spark.operators.multimodal import audio_metadata
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x01" * 8000)  # 1 s
+    wav = buf.getvalue()
+
+    def mp3_frame(br_idx=9):
+        n = 144 * 128000 // 44100
+        return bytes([0xFF, 0xFB, br_idx << 4, 0x00]) + b"\xAA" * (n - 4)
+
+    mp3 = b"".join(mp3_frame() for _ in range(20))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav), "audio/wav", None, None, None),
+            (2, "audio", bytearray(mp3), "audio/mpeg", None, None, None),
+            (3, "audio", bytearray(b"junk"), "audio/x", None, None, None),
+            (4, "image", bytearray(b"BM.."), "image/bmp", None, None, None),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in audio_metadata(media).collect()}
+    assert set(rows) == {1, 2, 3}  # images filtered out
+    assert rows[1]["container"] == "wav" and rows[1]["ok"]
+    assert rows[1]["duration_ms"] == 1000 and rows[1]["sample_rate"] == 8000
+    assert rows[2]["container"] == "mp3" and rows[2]["ok"]
+    assert rows[2]["bitrate_kbps"] == 128
+    assert abs(rows[2]["duration_ms"] - 20 * 1152 * 1000 / 44100) <= 1
+    assert not rows[3]["ok"]

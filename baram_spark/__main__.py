@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # exit 0 — the `nginx -t` analog (also what the CLI smoke test runs)
     p_serve.add_argument("--check", action="store_true")
 
+    # standalone embedding service (embedding_server, serve.rs:73-130):
+    # no Spark session — the model swap point over plain HTTP
+    p_embed = sub.add_parser("embed-serve")
+    p_embed.add_argument("--host", default="127.0.0.1")
+    p_embed.add_argument("--port", type=int, default=8100)
+    p_embed.add_argument("--dim", type=int, default=64)
+    p_embed.add_argument("--check", action="store_true")
+
     p_stats = sub.add_parser("stats")
     p_stats.add_argument("--index", required=True)
 
@@ -87,6 +95,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p_cluster.add_argument("--out", default=None)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "embed-serve":
+        from baram_spark.serving import make_embed_server
+
+        server = make_embed_server(dim=args.dim, host=args.host,
+                                   port=args.port)
+        host, port = server.server_address[:2]
+        if args.check:
+            server.server_close()
+            print(json.dumps({"status": "ok",
+                              "model": f"hash-embed-{args.dim}",
+                              "ready": True}))
+        else:
+            print(f"baram-spark embedding server on http://{host}:{port}")
+            print("  GET  /health       - Health check")
+            print("  POST /embed        - Embed one text")
+            print("  POST /embed/batch  - Embed a batch")
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                server.shutdown()
+        return 0
 
     owns_spark = spark is None
     if owns_spark:

@@ -240,7 +240,8 @@ class ServingContext:
 
     def search(self, q: str, mode: str = "hybrid", k: int = DEFAULT_K,
                category: str | None = None, date_from=None, date_to=None,
-               threshold: float | None = None) -> dict:
+               threshold: float | None = None,
+               bm25_weight: float | None = None) -> dict:
         k = min(k, MAX_K)
         snap = self._snap  # one snapshot per request (refresh-safe)
         allowed = self._allowed(snap, category, date_from, date_to)
@@ -259,7 +260,10 @@ class ServingContext:
             if threshold is not None:
                 hits = [(d, s) for d, s in hits if s >= threshold]
         elif mode == "hybrid":
-            hits = hybrid_search(bm25(), self._knn(snap, q, k, allowed), k=k)
+            # SearchConfig.bm25_weight (mod.rs:155-157): knn gets the rest
+            bw = 0.3 if bm25_weight is None else max(0.0, min(bm25_weight, 1.0))
+            hits = hybrid_search(bm25(), self._knn(snap, q, k, allowed), k=k,
+                                 bm25_weight=bw, knn_weight=1.0 - bw)
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
@@ -397,13 +401,136 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
                         date_to=_parse_date(qs.get("date_to")),
                         threshold=(float(qs["threshold"])
                                    if "threshold" in qs else None),
+                        bm25_weight=(float(qs["bm25_weight"])
+                                     if "bm25_weight" in qs else None),
                     ))
+                elif u.path == "/":
+                    # endpoint listing (api_root_handler, serve.rs:686-698)
+                    self._send(200, {
+                        "service": "baram-spark API Server",
+                        "version": VERSION,
+                        "endpoints": {
+                            "health": "GET /api/health",
+                            "search": ("GET /api/search?q=<query>"
+                                       "&mode=hybrid|keyword|vector&k=10"
+                                       "&category=...&date_from=..."
+                                       "&date_to=...&bm25_weight=0.3"),
+                            "events": ("GET /api/events?category=..."
+                                       "&limit=50&offset=0"),
+                            "event_detail": "GET /api/events/:event_id",
+                            "refresh": "POST /api/refresh",
+                        },
+                    })
                 else:
                     self._send(404, {"error": "not found", "code": 404})
             except ValueError as e:
                 self._send(400, {"error": str(e), "code": 400})
             except Exception as e:  # pragma: no cover - defensive 500
                 self._send(500, {"error": f"Search failed: {e}", "code": 500})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def make_embed_server(embed_fn=None, dim: int = 64,
+                      model_name: str | None = None,
+                      host: str = "127.0.0.1",
+                      port: int = 0) -> ThreadingHTTPServer:
+    """The standalone EMBEDDING server (``embedding_server``,
+    serve.rs:73-130 analog): the API tier fetches query embeddings from
+    this service, so the model runs in exactly one place.
+
+        GET  /health        → {"status", "model", "ready"}
+        POST /embed         {"text": ...}  → {"embedding", "dimension"}
+        POST /embed/batch   {"texts": [...]} → {"embeddings", "count",
+                                                "dimension"}
+
+    ``embed_fn(texts) -> 2-D array`` is the same swap point as the build
+    side; the default is the deterministic hashing-trick embedding."""
+    import numpy as _np
+
+    from .query.hybrid import hash_embed
+
+    name = model_name or (
+        f"hash-embed-{dim}" if embed_fn is None else "custom-embed-fn"
+    )
+
+    def run(texts: list[str]):
+        if embed_fn is not None:
+            return _np.asarray(embed_fn(texts), dtype=_np.float64)
+        return _np.stack([hash_embed(t or "", dim) for t in texts])
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            u = urlparse(self.path)
+            if u.path == "/health":
+                self._send(200, {"status": "ok", "model": name,
+                                 "ready": True})
+            elif u.path == "/":
+                self._send(200, {
+                    "service": "baram-spark embedding server",
+                    "model": name,
+                    "endpoints": {
+                        "health": "GET /health",
+                        "embed": "POST /embed {\"text\": ...}",
+                        "embed_batch": "POST /embed/batch {\"texts\": [...]}",
+                    },
+                })
+            else:
+                self._send(404, {"error": "not found", "code": 404})
+
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            u = urlparse(self.path)
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception:
+                self._send(400, {"error": "invalid JSON body", "code": 400})
+                return
+            try:
+                if u.path == "/embed":
+                    text = req.get("text")
+                    if not isinstance(text, str):
+                        self._send(400, {"error": "'text' must be a string",
+                                         "code": 400})
+                        return
+                    vec = run([text])[0]
+                    self._send(200, {"embedding": [float(x) for x in vec],
+                                     "dimension": int(vec.shape[0])})
+                elif u.path == "/embed/batch":
+                    texts = req.get("texts")
+                    if (not isinstance(texts, list)
+                            or any(not isinstance(t, str) for t in texts)):
+                        self._send(400, {
+                            "error": "'texts' must be a list of strings",
+                            "code": 400,
+                        })
+                        return
+                    mat = run(texts) if texts else None
+                    self._send(200, {
+                        "embeddings": (
+                            [[float(x) for x in row] for row in mat]
+                            if mat is not None else []
+                        ),
+                        "count": len(texts),
+                        "dimension": int(mat.shape[1]) if mat is not None
+                        else dim,
+                    })
+                else:
+                    self._send(404, {"error": "not found", "code": 404})
+            except Exception as e:  # pragma: no cover - defensive 500
+                self._send(500, {"error": f"Embedding failed: {e}",
+                                 "code": 500})
 
     return ThreadingHTTPServer((host, port), Handler)
 

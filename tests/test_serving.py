@@ -229,3 +229,81 @@ def test_events_endpoint(spark, server):
     assert code == 200 and detail["event_id"] == ev["event_id"]
     code, missing = _get(f"{base}/api/events/evt_999999")
     assert code == 404
+
+
+def _post_json(url, obj):
+    req = urllib.request.Request(
+        url, method="POST", data=json.dumps(obj).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode("utf-8"))
+
+
+def test_embedding_server():
+    """Standalone embedding service (embedding_server analog): /health,
+    POST /embed, POST /embed/batch with reference-shaped responses, and
+    vectors identical to the build-side hash_embed swap point."""
+    import numpy as np
+
+    from baram_spark.query.hybrid import hash_embed
+    from baram_spark.serving import make_embed_server, serve_forever_in_thread
+
+    srv = make_embed_server(dim=32, port=0)
+    serve_forever_in_thread(srv)
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        code, h = _get(f"{base}/health")
+        assert code == 200 and h["ready"] and h["model"] == "hash-embed-32"
+
+        code, r = _post_json(f"{base}/embed", {"text": "안녕 world"})
+        assert code == 200 and r["dimension"] == 32
+        assert np.allclose(r["embedding"], hash_embed("안녕 world", 32))
+
+        code, rb = _post_json(f"{base}/embed/batch",
+                              {"texts": ["one", "two", ""]})
+        assert code == 200 and rb["count"] == 3 and rb["dimension"] == 32
+        assert np.allclose(rb["embeddings"][1], hash_embed("two", 32))
+
+        code, e = _post_json(f"{base}/embed", {"text": 42})
+        assert code == 400
+        code, e = _post_json(f"{base}/embed/batch", {"texts": "nope"})
+        assert code == 400
+        code, root = _get(f"{base}/")
+        assert code == 200 and "endpoints" in root
+    finally:
+        srv.shutdown()
+
+
+def test_api_root_and_bm25_weight(spark, server):
+    base, out = server
+    code, root = _get(f"{base}/")
+    assert code == 200
+    assert root["service"].startswith("baram-spark")
+    assert set(root["endpoints"]) >= {"health", "search", "events",
+                                      "event_detail", "refresh"}
+
+    q = make_query_set()[0]["query_text"]
+    # bm25_weight=1.0 → pure-bm25 ranking; 0.0 → pure-knn ranking.
+    # Min-max fusion maps the weighted side's MINIMUM hit to 0.0, tying it
+    # with other-side-only candidates (also 0.0), so only the strictly-
+    # positive prefix of the fused ranking is pinned to the pure ranking.
+    def _pos_ids(resp):
+        return [r["id"] for r in resp["results"] if r["score"] > 0.0]
+
+    code, wb = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                    f"&mode=hybrid&k=5&bm25_weight=1.0")
+    code, bm = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                    f"&mode=bm25&k=5")
+    ids = _pos_ids(wb)
+    assert ids and ids == [r["id"] for r in bm["results"]][:len(ids)]
+    code, wk = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                    f"&mode=hybrid&k=5&bm25_weight=0.0")
+    code, kn = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                    f"&mode=knn&k=5")
+    ids = _pos_ids(wk)
+    assert ids and ids == [r["id"] for r in kn["results"]][:len(ids)]

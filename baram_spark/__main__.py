@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # filter context, pre-ranking (SearchConfig: category/date_from/date_to,
     # src/embedding/mod.rs:135-175)
     p_search.add_argument("--category", default=None)
+    p_search.add_argument("--publisher", default=None)
     p_search.add_argument("--date-from", type=_date, default=None)
     p_search.add_argument("--date-to", type=_date, default=None)
 
@@ -149,7 +150,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         hits = engine.search(
             args.query, k=args.k, min_score=args.min_score, mode=args.mode,
             category=args.category, date_from=args.date_from,
-            date_to=args.date_to,
+            date_to=args.date_to, publisher=args.publisher,
         )
         if args.hybrid:
             import os

@@ -393,8 +393,9 @@ class IndexBuilder:
     def _stage_doc_attrs(self, docs, gen) -> None:
         """Per-snapshot filter ATTRIBUTE INDEX (the analog of the
         reference's index-time keyword/date fields, embedding/mod.rs:
-        237-330): a skinny (doc_id, shard, category, published_at) table
-        sorted within partitions by (category, published_at).
+        237-330): a skinny (doc_id, shard, category, publisher,
+        published_at) table sorted within partitions by (category,
+        publisher, published_at).
 
         Why not just column-prune the docs table? Parquet pushdown prunes
         ROW GROUPS by min-max, and docs are laid out in ingest order —
@@ -408,12 +409,13 @@ class IndexBuilder:
                 "doc_id",
                 shard_expr(self.n_shards).cast("int").alias("shard"),
                 "category",
+                "publisher",
                 "published_at",
             )
             # tiny rows: few output files, each internally sorted for
-            # min-max pruning on (category, published_at)
+            # min-max pruning on (category, publisher, published_at)
             .repartition(max(self.n_shards // 4, 1))
-            .sortWithinPartitions("category", "published_at")
+            .sortWithinPartitions("category", "publisher", "published_at")
             .write.mode("overwrite")
             .parquet(f"{self.doc_attrs_path}/gen={gen}")
         )

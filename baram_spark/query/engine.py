@@ -222,26 +222,32 @@ class SearchEngine:
             return self.spark.read.option("basePath", d).parquet(*dirs)
         return self.spark.read.parquet(d)
 
-    def _allowed_docs(self, category, date_from, date_to):
+    def _allowed_docs(self, category, date_from, date_to, publisher=None):
         """Filter-context candidate set (doc_id, shard) — the reference's
-        bool-filter on category / published_at range (mod.rs:509-531).
+        bool-filter on category / publisher / published_at range
+        (mod.rs:509-531).
 
         The filter is a pushed-down parquet predicate over the doc_attrs
         attribute index (falling back to a column-pruned docs scan on
-        old layouts); doc_attrs carries the shard precomputed with the
+        old layouts, or when an old attrs layout predates the publisher
+        column); doc_attrs carries the shard precomputed with the
         same expression the builder used, so the set cogroups 1:1 with
         the postings shards. Returns None when no filter is active."""
-        if category is None and date_from is None and date_to is None:
+        if (category is None and date_from is None and date_to is None
+                and publisher is None):
             return None
         cond = F.lit(True)
         if category is not None:
             cond = cond & (F.col("category") == category)
+        if publisher is not None:
+            cond = cond & (F.col("publisher") == publisher)
         if date_from is not None:
             cond = cond & (F.col("published_at") >= F.lit(date_from).cast("timestamp"))
         if date_to is not None:
             cond = cond & (F.col("published_at") <= F.lit(date_to).cast("timestamp"))
         attrs = self._doc_attrs()
-        if attrs is not None:
+        if attrs is not None and (publisher is None
+                                  or "publisher" in attrs.columns):
             return attrs.filter(cond).select("doc_id", "shard")
         from ..index.build import shard_expr
 
@@ -336,10 +342,12 @@ class SearchEngine:
         date_from=None,
         date_to=None,
         allowed_ids=None,
+        publisher: str | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score); rank-identical to the brute-force oracle.
 
-        ``category`` / ``date_from`` / ``date_to`` apply PRE-ranking as
+        ``category`` / ``publisher`` / ``date_from`` / ``date_to`` apply
+        PRE-ranking as
         filter context (the reference's bool-filter, mod.rs:509-531): the
         candidate set is restricted before top-k, scores of surviving docs
         are unchanged. Distributed mode ships the per-shard allowed sets via
@@ -370,7 +378,8 @@ class SearchEngine:
                     shard_expr(self.n_shards).cast("int").alias("shard"),
                 )
         else:
-            allowed_df = self._allowed_docs(category, date_from, date_to)
+            allowed_df = self._allowed_docs(category, date_from, date_to,
+                                            publisher)
         denied = self._denied
 
         if mode == "local":
@@ -520,6 +529,7 @@ class SearchEngine:
                   min_score: float | None = None,
                   category: str | None = None,
                   date_from=None, date_to=None,
+                  publisher: str | None = None,
                   include_highlights: bool = True) -> DataFrame:
         """Search + doc projection (Q6): rank, score, title, url, category,
         publisher, published_at, 500-char content, and (Q5) ``highlights``
@@ -529,7 +539,7 @@ class SearchEngine:
         still returns up to k hits."""
         hits = self.search(query_text, k=k, min_score=min_score,
                            category=category, date_from=date_from,
-                           date_to=date_to)
+                           date_to=date_to, publisher=publisher)
         hits_df = self.spark.createDataFrame(
             [(d, s, r) for r, (d, s) in enumerate(hits, 1)],
             "doc_id long, score double, rank int",

@@ -5,7 +5,8 @@ Re-implements the reference's API server surface
 preloaded search engine:
 
     GET /api/search?q=...&mode=hybrid|keyword|bm25|vector|knn&k=10
-        [&category=...&date_from=...&date_to=...&threshold=...]
+        [&category=...&publisher=...&date_from=...&date_to=...
+         &threshold=...&bm25_weight=...]
         → {"query", "mode", "total", "results": [SearchResult...]}
     GET /api/health → {"status", "service", "version", ...}
 
@@ -55,8 +56,8 @@ class _Snapshot:
     single attribute assignment, so a request racing a refresh sees either
     the whole old state or the whole new one, never a mix."""
 
-    __slots__ = ("engine", "meta", "emb_ids", "emb", "cat_ids", "pub",
-                 "pub_ids", "events")
+    __slots__ = ("engine", "meta", "emb_ids", "emb", "cat_ids",
+                 "publisher_ids", "pub", "pub_ids", "events")
 
     def __init__(self, spark, index_dir: str):
         import os
@@ -93,18 +94,26 @@ class _Snapshot:
         # filtered request is O(log n + |slice|) array work instead of an
         # O(n_docs) python loop per query (the r2 scale finding):
         #   cat_ids:       category -> sorted doc_id array
+        #   publisher_ids: publisher -> sorted doc_id array
         #   pub / pub_ids: published_at-sorted parallel arrays (docs with
         #                  no date excluded — a date filter never matches
         #                  them, same as the reference's range query)
         by_cat: dict[str, list] = {}
+        by_publisher: dict[str, list] = {}
         pub_pairs: list[tuple] = []
         for doc_id, m in self.meta.items():
             by_cat.setdefault(m["category"], []).append(doc_id)
+            if m["publisher"] is not None:
+                by_publisher.setdefault(m["publisher"], []).append(doc_id)
             if m["published_at"] is not None:
                 pub_pairs.append((m["published_at"], doc_id))
         self.cat_ids = {
             c: np.sort(np.asarray(v, dtype=np.int64))
             for c, v in by_cat.items()
+        }
+        self.publisher_ids = {
+            p: np.sort(np.asarray(v, dtype=np.int64))
+            for p, v in by_publisher.items()
         }
         pub_pairs.sort()
         self.pub = np.array([p for p, _ in pub_pairs],
@@ -198,13 +207,20 @@ class ServingContext:
 
     # -- candidate filter (precomputed snapshot attribute index) ----------
     @staticmethod
-    def _allowed(snap, category, date_from, date_to):
-        if category is None and date_from is None and date_to is None:
+    def _allowed(snap, category, date_from, date_to, publisher=None):
+        if (category is None and date_from is None and date_to is None
+                and publisher is None):
             return None
         base = None
         if category is not None:
             base = snap.cat_ids.get(category,
                                     np.empty(0, dtype=np.int64))
+        if publisher is not None:
+            by_pub = snap.publisher_ids.get(publisher,
+                                            np.empty(0, dtype=np.int64))
+            base = by_pub if base is None else np.intersect1d(
+                base, by_pub, assume_unique=True
+            )
         if date_from is not None or date_to is not None:
             i0 = (np.searchsorted(snap.pub, np.datetime64(date_from), "left")
                   if date_from is not None else 0)
@@ -241,10 +257,12 @@ class ServingContext:
     def search(self, q: str, mode: str = "hybrid", k: int = DEFAULT_K,
                category: str | None = None, date_from=None, date_to=None,
                threshold: float | None = None,
-               bm25_weight: float | None = None) -> dict:
+               bm25_weight: float | None = None,
+               publisher: str | None = None) -> dict:
         k = min(k, MAX_K)
         snap = self._snap  # one snapshot per request (refresh-safe)
-        allowed = self._allowed(snap, category, date_from, date_to)
+        allowed = self._allowed(snap, category, date_from, date_to,
+                                publisher)
         allowed_ids = allowed.tolist() if allowed is not None else None
 
         def bm25():
@@ -403,6 +421,7 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
                                    if "threshold" in qs else None),
                         bm25_weight=(float(qs["bm25_weight"])
                                      if "bm25_weight" in qs else None),
+                        publisher=qs.get("publisher"),
                     ))
                 elif u.path == "/":
                     # endpoint listing (api_root_handler, serve.rs:686-698)
@@ -413,8 +432,9 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
                             "health": "GET /api/health",
                             "search": ("GET /api/search?q=<query>"
                                        "&mode=hybrid|keyword|vector&k=10"
-                                       "&category=...&date_from=..."
-                                       "&date_to=...&bm25_weight=0.3"),
+                                       "&category=...&publisher=..."
+                                       "&date_from=...&date_to=..."
+                                       "&bm25_weight=0.3"),
                             "events": ("GET /api/events?category=..."
                                        "&limit=50&offset=0"),
                             "event_detail": "GET /api/events/:event_id",

@@ -3,9 +3,10 @@ docs-scan fallback, and the serving tier's precomputed arrays.
 
 The reference applies category/date filters through index-time keyword/
 date fields (src/embedding/mod.rs:237-330); the Spark analog is a skinny
-per-generation (doc_id, shard, category, published_at) table sorted by the
-filter keys so row-group min-max pruning works, plus node-resident sorted
-arrays on the serving tier (no per-query O(n_docs) python loop)."""
+per-generation (doc_id, shard, category, publisher, published_at) table
+sorted by the filter keys so row-group min-max pruning works, plus
+node-resident sorted arrays on the serving tier (no per-query O(n_docs)
+python loop)."""
 
 import os
 from datetime import datetime, timedelta
@@ -45,6 +46,11 @@ def test_attrs_table_written_and_used(spark, attrs_index):
     assert "/docs/" not in plan and not plan.rstrip().endswith("/docs"), plan
     # category filter pushed into the parquet scan
     assert "PushedFilters" in plan and "category" in plan, plan
+    # publisher facet: same attribute-index path, pushed predicate
+    allowed_pub = engine._allowed_docs(None, None, None, "바람일보")
+    plan_pub = _plan(allowed_pub)
+    assert "/doc_attrs" in plan_pub, plan_pub
+    assert "PushedFilters" in plan_pub and "publisher" in plan_pub, plan_pub
 
 
 def test_attrs_matches_docs_fallback(spark, attrs_index):
@@ -58,6 +64,8 @@ def test_attrs_matches_docs_fallback(spark, attrs_index):
         {"category": "sports"},
         {"date_from": d0, "date_to": d1},
         {"category": "economy", "date_from": d0},
+        {"publisher": "바람일보"},
+        {"publisher": "스파크뉴스", "category": "sports"},
     ]
     for kw in cases:
         with_attrs = engine.search(q, k=10, mode="distributed", **kw)
@@ -77,10 +85,12 @@ def test_serving_allowed_arrays_match_naive_loop(spark, attrs_index):
     d0 = datetime(2024, 1, 1)
     d1 = d0 + timedelta(days=150)
 
-    def naive(category, date_from, date_to):
+    def naive(category, date_from, date_to, publisher=None):
         out = []
         for doc_id, m in snap.meta.items():
             if category is not None and m["category"] != category:
+                continue
+            if publisher is not None and m["publisher"] != publisher:
                 continue
             pub = m["published_at"]
             if date_from is not None and (pub is None or pub < date_from):
@@ -92,7 +102,10 @@ def test_serving_allowed_arrays_match_naive_loop(spark, attrs_index):
 
     for args in [("sports", None, None), (None, d0, d1),
                  ("economy", d0, None), (None, None, d1),
-                 ("no-such-category", None, None)]:
+                 ("no-such-category", None, None),
+                 (None, None, None, "바람일보"),
+                 ("sports", d0, d1, "스파크뉴스"),
+                 (None, None, None, "no-such-publisher")]:
         got = ctx._allowed(snap, *args)
         exp = naive(*args)
         assert got is not None

@@ -307,3 +307,24 @@ def test_api_root_and_bm25_weight(spark, server):
                     f"&mode=knn&k=5")
     ids = _pos_ids(wk)
     assert ids and ids == [r["id"] for r in kn["results"]][:len(ids)]
+
+
+def test_publisher_filter(spark, server):
+    """publisher= is pre-ranking filter context: every hit carries the
+    requested publisher, and the serving-tier results equal the engine's
+    publisher-filtered search."""
+    base, out = server
+    q = make_query_set()[0]["query_text"]
+    pub = "바람일보"
+    code, body = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                      f"&mode=bm25&k=5&publisher={urllib.parse.quote(pub)}")
+    assert code == 200 and body["total"] > 0
+    assert all(r["publisher"] == pub for r in body["results"])
+    engine = SearchEngine(spark, out)
+    expected = engine.search(q, k=5, mode="local", publisher=pub)
+    assert [round(r["score"], 9) for r in body["results"]] == \
+        [round(s, 9) for _, s in expected]
+    # unknown publisher → empty result set, not an error
+    code, none = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                      f"&mode=bm25&k=5&publisher=nope")
+    assert code == 200 and none["total"] == 0

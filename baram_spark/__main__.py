@@ -13,6 +13,9 @@ Commands (mirroring the reference CLI, ``/root/reference/src/main.rs``):
     serve   --index DIR [--host H] [--port P]    (REST /api/search + /api/health)
     stats   --index DIR                          (doc/postings/generation counts)
     cluster --index DIR [--threshold X] [--min-size N] [--out PATH]
+    maintenance --index DIR [--retain-snapshots N] [--skip-cluster]
+            [--notify URL]     (merge gens+tombstones -> vacuum -> recluster
+                                -> POST <URL>/api/refresh)
     bench   (delegates to bench.py defaults)
 """
 
@@ -94,6 +97,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p_cluster.add_argument("--threshold", type=float, default=0.75)
     p_cluster.add_argument("--min-size", type=int, default=2)
     p_cluster.add_argument("--out", default=None)
+
+    # one-command maintenance window: consolidate generations + pending
+    # tombstones, expire superseded snapshots, refresh the derived cluster
+    # table, then tell a serving node to re-open at the new snapshot
+    p_maint = sub.add_parser("maintenance")
+    p_maint.add_argument("--index", required=True)
+    p_maint.add_argument("--retain-snapshots", type=int, default=2)
+    p_maint.add_argument("--threshold", type=float, default=0.75)
+    p_maint.add_argument("--min-size", type=int, default=2)
+    p_maint.add_argument("--skip-cluster", action="store_true")
+    p_maint.add_argument("--notify", default=None,
+                         help="serving base URL to POST /api/refresh")
 
     args = parser.parse_args(argv)
 
@@ -230,31 +245,63 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
         print(json.dumps(stats))
     elif args.cmd == "cluster":
-        from pyspark.sql import functions as F
+        n, out = _run_cluster(spark, args.index, args.threshold,
+                              args.min_size, args.out)
+        print(json.dumps({"clusters": n, "out": out}))
+    elif args.cmd == "maintenance":
+        import urllib.request
 
-        from baram_spark.index.builder import read_gen_table
-        from baram_spark.operators.clustering import (
-            cluster_embeddings,
-            event_clusters,
-        )
+        from baram_spark.index.builder import IndexBuilder
 
-        emb = read_gen_table(spark, args.index, "embeddings")
-        dim = len(emb.select("embedding").first()[0])
-        clusters = cluster_embeddings(
-            emb, dim=dim, threshold=args.threshold, min_size=args.min_size,
-            id_col="doc_id",
-        )
-        docs = read_gen_table(spark, args.index, "docs")
-        events = event_clusters(clusters, docs)
-        # S13 cluster JSON sink — default location is what the serving
-        # tier's /api/events reads (the clusters.json analog,
-        # serve.rs:570-627)
-        out = args.out or f"{args.index.rstrip('/')}/clusters"
-        events.write.mode("overwrite").json(out)
-        print(json.dumps({"clusters": events.count(), "out": out}))
+        idx = args.index.rstrip("/")
+        b = IndexBuilder(spark, idx)
+        report: dict = {"index": idx}
+        report["merge"] = b.merge_generations()
+        report["vacuum"] = b.vacuum(retain_snapshots=args.retain_snapshots)
+        if not args.skip_cluster:
+            import os
+
+            if os.path.exists(f"{idx}/embeddings"):
+                n, out = _run_cluster(spark, idx, args.threshold,
+                                      args.min_size, None)
+                report["cluster"] = {"clusters": n, "out": out}
+            else:
+                report["cluster"] = {"skipped": "no embeddings table"}
+        if args.notify:
+            req = urllib.request.Request(
+                f"{args.notify.rstrip('/')}/api/refresh", method="POST",
+                data=b"")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                report["refresh"] = json.loads(r.read().decode("utf-8"))
+        print(json.dumps(report, default=str))
     if owns_spark:
         spark.stop()
     return 0
+
+
+def _run_cluster(spark, index: str, threshold: float, min_size: int,
+                 out: str | None) -> tuple[int, str]:
+    """Event clustering over the committed snapshot's embeddings; writes
+    the S13 cluster JSON sink — default location is what the serving
+    tier's /api/events reads (the clusters.json analog, serve.rs:570-627).
+    Returns (n_clusters, out_path)."""
+    from baram_spark.index.builder import read_gen_table
+    from baram_spark.operators.clustering import (
+        cluster_embeddings,
+        event_clusters,
+    )
+
+    emb = read_gen_table(spark, index, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    clusters = cluster_embeddings(
+        emb, dim=dim, threshold=threshold, min_size=min_size,
+        id_col="doc_id",
+    )
+    docs = read_gen_table(spark, index, "docs")
+    events = event_clusters(clusters, docs)
+    out = out or f"{index.rstrip('/')}/clusters"
+    events.write.mode("overwrite").json(out)
+    return events.count(), out
 
 
 if __name__ == "__main__":

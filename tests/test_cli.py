@@ -85,3 +85,48 @@ def test_cli_serve_check(capsys, spark, cli_index):
                                "--port", "0", "--check"])
     assert out["status"] == "ok"
     assert out["document_count"] == n_docs
+
+
+def test_cli_maintenance(capsys, spark, cli_index):
+    """maintenance = merge gens+tombstones -> vacuum -> recluster ->
+    POST /api/refresh on a live node. Drives a second build wave plus a
+    deletion, then asserts the node re-opened on the single merged
+    generation with the deleted doc gone."""
+    from baram_spark.index.builder import IndexBuilder
+    from baram_spark.serving import (
+        ServingContext,
+        make_server,
+        serve_forever_in_thread,
+    )
+
+    b = IndexBuilder(spark, cli_index, n_shards=2, salt_threshold=10**9,
+                     build_embeddings=True)
+    b.build_incremental(pages_df(spark, 190, partitions=4),
+                        fingerprint="cli-wave2")
+    victim = spark.read.parquet(f"{cli_index}/docs").select(
+        "oid", "aid").first()
+    assert b.delete_by_query(
+        f"oid = '{victim['oid']}' AND aid = '{victim['aid']}'") == 1
+
+    ctx = ServingContext(spark, cli_index)
+    srv = make_server(ctx, port=0)
+    serve_forever_in_thread(srv)
+    host, port = srv.server_address[:2]
+    try:
+        out = _run(capsys, spark, [
+            "maintenance", "--index", cli_index, "--threshold", "0.5",
+            "--notify", f"http://{host}:{port}",
+        ])
+        assert out["merge"]["docs"] is not None
+        assert "cluster" in out and out["cluster"].get("clusters", 0) >= 0
+        assert out["refresh"]["refreshed"]
+        # node re-opened on the merged snapshot: one generation, no victim
+        eng = ctx.engine
+        assert len(eng._committed) == 1
+        meta = ctx.meta
+        assert all(
+            not (m["oid"] == victim["oid"] and m["aid"] == victim["aid"])
+            for m in meta.values()
+        )
+    finally:
+        srv.shutdown()

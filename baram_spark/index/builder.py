@@ -440,13 +440,20 @@ class IndexBuilder:
 
         ``drop_gens``: generations being RETIRED by this operation
         (compact/merge rewrite docs into a fresh gen number) — their rows
-        leave gen_meta and the global totals along with the update."""
+        leave gen_meta and the global totals along with the update.
+
+        Only COMMITTED generations fold into the carried-forward totals:
+        a concurrent writer's in-flight staging (or a discarded wave's
+        leftover rows) must not inflate the global n_docs/avgdl this
+        generation's postings are packed and scored with."""
         drop = {int(g) for g in drop_gens}
+        committed = {int(g) for g in self.committed_generations()}
         prior: dict[tuple[int, str], tuple[int, int, float]] = {}
         gm_read = self._latest_stats_dir(self.gen_meta_path)
         if self._exists(gm_read):
             for r in self.spark.read.parquet(gm_read).collect():
-                if r["gen"] != gen and int(r["gen"]) not in drop:
+                if (r["gen"] != gen and int(r["gen"]) not in drop
+                        and int(r["gen"]) in committed):
                     prior[(r["gen"], r["field"])] = (
                         r["n_docs"], r["dl_sum"], r["avgdl_pack"]
                     )
@@ -625,8 +632,19 @@ class IndexBuilder:
         generations ABOUT TO BE COMMITTED — (n_terms × n_shards × n_gens)
         rows, far smaller than doc_terms. Reading the committed list (not
         the postings dir) keeps partial gens from crashed builds and
-        retained-but-superseded gens out of the global df."""
-        if (stage, 0) in done:
+        retained-but-superseded gens out of the global df.
+
+        The ledger part number encodes the generation UNION the aggregate
+        covered, so a resume only skips the stage when the about-to-commit
+        union is the one already computed — a retry after a concurrent
+        writer advanced the snapshot (different union) recomputes instead
+        of committing stale global df."""
+        import zlib
+
+        part = zlib.crc32(
+            ",".join(str(int(g)) for g in sorted(gens or [])).encode()
+        ) & 0x7FFFFFFF  # ledger part column is int32
+        if (stage, part) in done:
             metrics["resumed_stages"].append(stage)
             return
         src = read_gen_table(self.spark, self.out, "postings", gens=gens)
@@ -639,7 +657,7 @@ class IndexBuilder:
                 .write.mode("overwrite")
                 .parquet(self._next_stats_dir(self.term_stats_path))
             )
-        self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
+        self.ledger.record(stage, part, fingerprint, 0, 0, t.seconds)
         metrics["term_stats_seconds"] = t.seconds
 
     def _read_manifest(self) -> dict | None:
@@ -704,9 +722,11 @@ class IndexBuilder:
         never a directory listing, so a partial generation left by a
         crashed build is never committed by the next successful one. The
         manifest also keeps a short snapshot ``history``; generation dirs
-        referenced by no retained snapshot are GC'd here (readers pinned
-        within the retention window keep their files; ``vacuum`` reclaims
-        more aggressively when the caller knows nothing is pinned)."""
+        that FELL OUT of the retained history are GC'd here (readers pinned
+        within the retention window keep their files). Dirs never
+        referenced by any snapshot — crashed garbage or a concurrent
+        writer's in-flight staging — are reclaimed only by ``vacuum``,
+        when the caller knows nothing is pinned or in flight."""
         import json
         import os
         import shutil
@@ -771,15 +791,26 @@ class IndexBuilder:
             for v in vs[:-2]:
                 shutil.rmtree(os.path.join(local, f"v_{v}"),
                               ignore_errors=True)
-        # GC generation dirs referenced by NO retained snapshot: superseded
-        # gens (merge/compact) leave the retention window, and partial gens
-        # from crashed builds (never in any history entry) are reclaimed.
+        # GC at commit reclaims ONLY generations that just fell out of the
+        # retained history (superseded by merge/compact and past retention).
+        # Never-referenced dirs are left alone: they are either crashed
+        # garbage OR another writer's IN-FLIGHT staged generation — under
+        # optimistic concurrency a commit must not delete a racing append's
+        # staging (the Iceberg contract: commit never removes orphans;
+        # `vacuum` does, when the operator knows nothing is in flight).
+        prev_ref = {
+            int(g)
+            for h in (prev or {}).get("history", [])
+            for g in h["generations"]
+        }
         referenced = {int(g) for h in history for g in h["generations"]}
-        self._gc_gen_dirs(referenced)
+        for g in sorted(prev_ref - referenced):
+            self._remove_gen_dirs(g)
 
     def _gc_gen_dirs(self, referenced: set[int]) -> None:
+        """Remove EVERY gen dir not in ``referenced`` — including crashed
+        partial gens. Only safe from :meth:`vacuum` (no writer in flight)."""
         import os
-        import shutil
 
         for t in _GEN_TABLES:
             base = f"{self.out}/{t}".removeprefix("file:")
@@ -787,7 +818,18 @@ class IndexBuilder:
                 continue
             for d in os.listdir(base):
                 if d.startswith("gen=") and int(d.split("=")[1]) not in referenced:
+                    import shutil
+
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    def _remove_gen_dirs(self, gen: int) -> None:
+        import os
+        import shutil
+
+        for t in _GEN_TABLES:
+            p = f"{self.out}/{t}/gen={gen}".removeprefix("file:")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
     def vacuum(self, retain_snapshots: int = 1) -> dict:
         """Expire old snapshots NOW (the Iceberg expire_snapshots analog):
@@ -848,30 +890,84 @@ class IndexBuilder:
         return metrics
 
     def build_incremental(self, pages: DataFrame, fingerprint: str,
-                          since=None, resume: bool = True) -> dict:
+                          since=None, resume: bool = True,
+                          occ_retries: int = 0) -> dict:
         """Append a new generation with only NEW pages.
 
         ``since`` prunes by warc_ts before any content is read (partition
         pruning at scale); the anti-join against indexed urls is the
         dedup/checkpoint tier. Re-running with the same fingerprint resumes
         at per-shard granularity like the base build.
-        """
+
+        ``occ_retries``: if another writer advances the snapshot while this
+        wave runs (``SnapshotConflictError`` at the commit), retry up to N
+        times. A retry resumes this wave's staged generation from the
+        ledger, re-reads the NEW committed list, and recomputes term_stats
+        over the union (the stats ledger key encodes the union, so the
+        stale aggregate never resumes). Appends compose under retry; a
+        concurrent merge/compact that RETIRED generations still commits
+        correctly (the union is taken against its new list). If the
+        concurrent writer indexed some of the SAME urls, the staged
+        generation is discarded and the wave re-runs against the new
+        snapshot, so the no-duplicate-url invariant survives the race."""
+        attempt = 0
+        while True:
+            try:
+                return self._build_incremental_once(
+                    pages, fingerprint, since, resume,
+                )
+            except SnapshotConflictError:
+                attempt += 1
+                if attempt > occ_retries:
+                    raise
+
+    def _staged_gen_overlaps(self, gen: int, committed: list[int]) -> bool:
+        """True when the staged (uncommitted) generation shares any url
+        with the committed snapshot — i.e. a concurrent wave indexed some
+        of the same pages after this wave's dedup anti-join ran. Disjoint
+        staging (the common pure-append race) resumes as-is."""
+        gen_dir = f"{self.docs_path}/gen={gen}"
+        if not committed or not self._exists(gen_dir):
+            return False
+        staged = self.spark.read.parquet(gen_dir).select("url")
+        known = read_gen_table(
+            self.spark, self.out, "docs", gens=committed
+        ).select("url")
+        return staged.join(known, "url", "left_semi").limit(1).count() > 0
+
+    def _build_incremental_once(self, pages: DataFrame, fingerprint: str,
+                                since=None, resume: bool = True) -> dict:
         base_sid = self._begin()
         self._write_index_meta()
         done = self.ledger.completed(fingerprint) if resume else set()
         # resume within the same fingerprint keeps ITS generation number
         # (recovered from the ledger stage names — other fingerprints may
         # have appended further generations in between)
+        # ".g" guard + isdigit: embed stages are named "docs.gN.embed",
+        # whose tail after the last ".g" is "N.embed", not a gen number
         prior_gens = [
-            int(stage.rsplit(".g", 1)[1])
+            int(tail)
             for stage, _ in done
             if ".g" in stage
+            and (tail := stage.rsplit(".g", 1)[1]).isdigit()
         ]
+        committed_before = self.committed_generations()
         if prior_gens:
             gen = max(prior_gens)
+            if gen not in committed_before and self._staged_gen_overlaps(
+                gen, committed_before
+            ):
+                # the staged generation's dedup anti-join ran against an
+                # OLDER snapshot and a concurrent wave has since committed
+                # some of the same urls — resuming it would commit
+                # duplicates. Discard the staging, invalidate the wave's
+                # ledger, and redo against the current snapshot.
+                self._remove_gen_dirs(gen)
+                self.ledger.invalidate(fingerprint)
+                done = set()
+                gen = self._next_gen()
         else:
             gen = self._next_gen()
-        committed_before = self.committed_generations()
         metrics: dict = {"fingerprint": fingerprint, "gen": gen,
                          "resumed_stages": []}
         if since is not None:

@@ -73,15 +73,40 @@ class LineageLedger:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.parquet(self.path)
 
+    #: stage name of an invalidate-all marker row (partition_id == -1):
+    #: every record of the fingerprint written at or before the marker is
+    #: treated as never-completed
+    INVALIDATE_ALL = "*"
+
     def completed(self, fingerprint: str) -> set[tuple[str, int]]:
-        """{(stage, partition_id)} already done for this input fingerprint."""
+        """{(stage, partition_id)} already done for this input fingerprint.
+        Records at or before the newest :meth:`invalidate` marker are
+        excluded — the wave was discarded and must re-run."""
         rows = (
             self.read()
             .filter(F.col("fingerprint") == fingerprint)
-            .select("stage", "partition_id")
+            .select("stage", "partition_id", "completed_at")
             .collect()
         )
-        return {(r["stage"], r["partition_id"]) for r in rows}
+        cut = max(
+            (r["completed_at"] for r in rows
+             if r["stage"] == self.INVALIDATE_ALL
+             and r["partition_id"] == -1),
+            default=None,
+        )
+        return {
+            (r["stage"], r["partition_id"])
+            for r in rows
+            if r["stage"] != self.INVALIDATE_ALL
+            and (cut is None or r["completed_at"] > cut)
+        }
+
+    def invalidate(self, fingerprint: str) -> None:
+        """Append an invalidate-all marker: every stage recorded so far for
+        this fingerprint is stale (e.g. its staged generation was discarded
+        after an optimistic-concurrency conflict). Later re-records of the
+        same stages count again."""
+        self.record_many([(self.INVALIDATE_ALL, -1, fingerprint, 0, 0, 0.0)])
 
     def record(self, stage: str, partition_id: int, fingerprint: str,
                rows_in: int, rows_out: int, seconds: float) -> None:

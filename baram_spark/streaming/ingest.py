@@ -35,13 +35,19 @@ def stream_build(
     salt_threshold: int = 50_000,
     available_now: bool = True,
     schema: str = PAGES_SCHEMA,
+    occ_retries: int = 3,
 ):
     """Drain all unprocessed page files into incremental index generations.
 
     Returns the terminated StreamingQuery. With ``available_now`` the call
     blocks until the backlog is indexed and then stops — run it from a
     scheduler at the reference's 2h cadence for the identical behavior.
-    """
+
+    ``occ_retries``: a maintenance job (merge/vacuum) may commit between a
+    micro-batch's base read and its manifest swap; the batch's commit then
+    aborts with ``SnapshotConflictError`` and is retried against the new
+    snapshot (staged work resumes from the ledger, term_stats recomputed
+    over the union) — the stream never loses a batch to upkeep jobs."""
     builder = IndexBuilder(
         spark, index_dir, n_shards=n_shards, salt_threshold=salt_threshold
     )
@@ -50,7 +56,8 @@ def stream_build(
         if batch_df.isEmpty():
             return
         builder.build_incremental(
-            batch_df, fingerprint=f"stream-batch-{batch_id}"
+            batch_df, fingerprint=f"stream-batch-{batch_id}",
+            occ_retries=occ_retries,
         )
 
     stream = (

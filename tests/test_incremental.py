@@ -242,8 +242,11 @@ def test_crashed_partial_gen_never_committed_then_gcd(spark, tmp_path):
     """A crashed build's partial generation (garbage files, no manifest
     entry) must (a) never be swept into the NEXT successful commit — the
     committed list is carried through the manifest, not re-derived from a
-    directory listing — and (b) be reclaimed by GC at that commit, since
-    no retained snapshot references it."""
+    directory listing — and (b) survive that commit untouched (a commit
+    cannot tell crashed garbage from a concurrent writer's in-flight
+    staging, so it deletes neither), then (c) be reclaimed by an explicit
+    ``vacuum`` — the orphan-file collector, run when nothing is in
+    flight."""
     import json
     import os
 
@@ -266,9 +269,14 @@ def test_crashed_partial_gen_never_committed_then_gcd(spark, tmp_path):
     with open(f"{out}/_manifest.json") as f:
         m = json.load(f)
     # the fresh wave took an UNUSED gen number; the crashed gen 1 is not in
-    # the committed list and its dirs are gone
+    # the committed list, but its dirs survive the commit (could be another
+    # writer's in-flight staging)
     assert 1 not in m["generations"]
     assert m["generations"] == [0, 2]
+    assert os.path.exists(f"{out}/docs/gen=1")
+    assert os.path.exists(f"{out}/postings/gen=1")
+    # explicit vacuum is the orphan collector
+    b2.vacuum(retain_snapshots=1)
     assert not os.path.exists(f"{out}/docs/gen=1")
     assert not os.path.exists(f"{out}/postings/gen=1")
 
@@ -307,3 +315,82 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     assert b.committed_generations() == [0, 1]
     engine = SearchEngine(spark, out)
     assert engine._committed == [0, 1]
+
+
+def test_occ_conflict_retry(spark, tmp_path):
+    """A concurrent writer committing mid-wave aborts the wave's commit
+    (SnapshotConflictError); with occ_retries the wave resumes its staged
+    generation, commits the UNION of generations, and recomputes the
+    global term_stats so df covers the concurrent writer's docs too."""
+    from baram_spark.index.builder import (
+        SnapshotConflictError,
+        read_gen_table,
+    )
+
+    out = f"{tmp_path}/occ_idx"
+    # embeddings on: a resumed wave's ledger carries "docs.gN.embed" stage
+    # names, whose parse must not be mistaken for a generation number
+    b1 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9,
+                      build_embeddings=True)
+    b1.build(pages_df(spark, 120, partitions=2), fingerprint="base")
+
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9,
+                      build_embeddings=True)
+    # b1 stages urls 120..300; b2 commits 120..240 FIRST — the overlap
+    # forces the retry to discard b1's staged gen and re-dedup, leaving
+    # only 240..300 for b1's recommitted wave
+    wave_a = pages_df(spark, 300, partitions=2)
+    wave_b = pages_df(spark, 240, partitions=2)
+
+    fired = {"n": 0}
+    orig = b1._stage_term_stats
+
+    def hooked(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            b2.build_incremental(wave_b, fingerprint="concurrent")
+        return orig(*a, **kw)
+
+    b1._stage_term_stats = hooked
+
+    # without retries the conflict surfaces
+    with pytest.raises(SnapshotConflictError):
+        b1.build_incremental(wave_a, fingerprint="wave-a")
+
+    # with a retry budget the wave lands; 3 generations committed
+    fired["n"] = 1  # don't fire the concurrent build again
+    metrics = b1.build_incremental(wave_a, fingerprint="wave-a",
+                                   occ_retries=2)
+    gens = b1.committed_generations()
+    assert len(gens) == 3, gens
+    assert metrics["gen"] in gens
+
+    # committed term_stats cover ALL generations: df equals the direct
+    # aggregate over the committed postings (incl. the concurrent gen)
+    stats = spark.read.parquet(
+        b1._latest_stats_dir(b1.term_stats_path)
+    )
+    expect = (
+        read_gen_table(spark, out, "postings", gens=gens)
+        .groupBy("field", "term").agg(F.sum("df").alias("df"))
+    )
+    mismatch = (
+        stats.alias("s").join(expect.alias("e"), ["field", "term"],
+                              "full_outer")
+        .filter(
+            F.col("s.df").isNull() | F.col("e.df").isNull()
+            | (F.col("s.df") != F.col("e.df"))
+        ).count()
+    )
+    assert mismatch == 0
+
+    # no duplicate urls across generations (anti-join still held)
+    docs = read_gen_table(spark, out, "docs", gens=gens)
+    assert docs.count() == docs.select("url").distinct().count()
+
+    # and the engine still ranks identically to brute force over the union
+    q = make_query_set()[0]["query_text"]
+    eng = SearchEngine(spark, out)
+    assert _norm(eng.search(q, k=10, mode="local")) == _norm(
+        _oracle(spark, out).search(q, k=10)
+    )

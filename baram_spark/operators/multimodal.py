@@ -8,7 +8,7 @@ Decode support is two-tier:
 
 - **Real decoders** (pure stdlib + numpy, no external codecs needed):
   24-bit BMP, binary PPM (P6), PNG (zlib inflate + scanline unfiltering;
-  8-bit gray/RGB/palette/alpha, non-interlaced), and baseline JPEG
+  8-bit gray/RGB/palette/alpha, incl. Adam7 interlace), and baseline JPEG
   (SOF0: huffman entropy decode, dequant + de-zigzag, matrix IDCT,
   chroma upsampling, restart markers) images, and PCM WAV audio. These
   produce real pixel/sample arrays; features and resize operate on
@@ -101,51 +101,30 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError("compressed image format — needs an external codec")
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """Real PNG decode with stdlib ``zlib`` + numpy: chunk walk, inflate
-    the IDAT stream, undo the per-scanline filters (None/Sub/Up/Average/
-    Paeth), map color types gray/RGB/palette/gray+alpha/RGBA → HxWx3 RGB.
-    8-bit depth, non-interlaced (the overwhelmingly common web case);
-    16-bit and Adam7 raise like any other unsupported codec."""
-    import zlib
+# Adam7 interlace passes: (x0, y0, dx, dy) — sub-image k holds pixels at
+# rows y0::dy, cols x0::dx of the full image (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    pos, idat, plte = 8, [], None
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        typ = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        pos += 12 + ln  # len + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif typ == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace:
-        raise ValueError("Adam7-interlaced PNG unsupported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"PNG color type {ctype} unsupported")
-    raw = zlib.decompress(b"".join(idat))
+
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int,
+                  channels: int) -> tuple[np.ndarray, int]:
+    """Undo the per-scanline filters (None/Sub/Up/Average/Paeth) for one
+    (sub-)image of ``h`` scanlines starting at ``offset`` in the inflated
+    IDAT stream. Returns (h×(w·channels) array, next offset)."""
     stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
+    if len(raw) < offset + h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, np.uint8, count=stride, offset=base + 1
         ).astype(np.int64)
         if ftype == 0:  # None
             recon = line
@@ -172,7 +151,61 @@ def _decode_png(payload: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter {ftype}")
         out[y] = recon.astype(np.uint8)
         prev = recon
-    px = out.reshape(h, w, channels)
+    return out, offset + h * (stride + 1)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib ``zlib`` + numpy: chunk walk, inflate
+    the IDAT stream, undo the per-scanline filters (None/Sub/Up/Average/
+    Paeth), composite Adam7 interlace passes when present, map color
+    types gray/RGB/palette/gray+alpha/RGBA → HxWx3 RGB. 8-bit depth;
+    16-bit raises like any other unsupported codec."""
+    import zlib
+
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, composited onto
+        # the (y0::dy, x0::dx) grids of the full image
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, pw, ph, channels)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    else:
+        out, off = _png_unfilter(raw, 0, w, h, channels)
+        px = out.reshape(h, w, channels)
+    if off != len(raw):
+        raise ValueError("PNG IDAT length mismatch")
     if ctype == 0:  # grayscale
         return np.ascontiguousarray(np.repeat(px, 3, axis=2))
     if ctype == 2:  # RGB
@@ -471,8 +504,12 @@ def parse_mp3(payload: bytes) -> dict:
     """REAL MP3 container/frame-header parse (stdlib only): skip ID3v2,
     walk MPEG audio frame headers (sync, version, layer, bitrate,
     sample rate, padding), and return duration/bitrate/rate metadata —
-    1152 (MPEG-1) or 576 (MPEG-2/2.5) samples per Layer-III frame. The
-    audio payload decode (huffman + IMDCT) stays out of scope."""
+    1152 (MPEG-1) or 576 (MPEG-2/2.5) samples per Layer-III frame.
+    Xing/Info and Fraunhofer VBRI headers in the first frame are parsed:
+    their frame/byte counts give the authoritative duration and average
+    bitrate for VBR files (and survive truncated payloads), and the tag
+    frame itself is excluded from the audio frame count. The audio
+    payload decode (huffman + IMDCT) stays out of scope."""
     pos = 0
     if payload[:3] == b"ID3":
         size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
@@ -481,6 +518,9 @@ def parse_mp3(payload: bytes) -> dict:
     total_ms = 0.0
     bitrates = []
     sample_rate = None
+    vbr_header = None
+    header_frames = header_bytes = None
+    spf_last = 1152
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
             pos += 1
@@ -506,19 +546,69 @@ def parse_mp3(payload: bytes) -> dict:
         if frame_len <= 4:
             pos += 1
             continue
+        if n_frames == 0 and vbr_header is None:
+            # Xing/Info (or Fraunhofer VBRI) tag in the FIRST frame: the
+            # authoritative frame/byte counts a VBR encoder wrote, at the
+            # version/channel-dependent offset past the side info
+            mode = (payload[pos + 3] >> 6) & 0x3  # 3 = mono
+            off = 4 + ((17 if mode == 3 else 32) if version == 1
+                       else (9 if mode == 3 else 17))
+            tag = payload[pos + off:pos + off + 4]
+            if tag in (b"Xing", b"Info"):
+                vbr_header = tag.decode()
+                flags = int.from_bytes(
+                    payload[pos + off + 4:pos + off + 8], "big"
+                )
+                p = pos + off + 8
+                if flags & 1:  # frames field present
+                    header_frames = int.from_bytes(payload[p:p + 4], "big")
+                    p += 4
+                if flags & 2:  # bytes field present
+                    header_bytes = int.from_bytes(payload[p:p + 4], "big")
+            elif payload[pos + 36:pos + 40] == b"VBRI":
+                vbr_header = "VBRI"
+                header_bytes = int.from_bytes(
+                    payload[pos + 46:pos + 50], "big"
+                )
+                header_frames = int.from_bytes(
+                    payload[pos + 50:pos + 54], "big"
+                )
+            if vbr_header is not None:
+                # the tag lives in a silent frame that is NOT audio —
+                # skip it without counting
+                sample_rate = rate
+                spf_last = spf
+                pos += frame_len
+                continue
         n_frames += 1
         total_ms += spf * 1000.0 / rate
         bitrates.append(bitrate)
         sample_rate = rate
+        spf_last = spf
         pos += frame_len
-    if not n_frames:
+    if not n_frames and not header_frames:
         raise ValueError("no MPEG audio frames found")
+    duration_ms = total_ms
+    if header_frames and sample_rate:
+        # header-declared duration wins: it covers the whole file even if
+        # the walked payload is truncated
+        duration_ms = header_frames * spf_last * 1000.0 / sample_rate
+    if header_bytes and duration_ms:
+        bitrate_kbps = int(round(header_bytes * 8.0 / duration_ms))
+    elif bitrates:
+        bitrate_kbps = int(round(sum(bitrates) / len(bitrates) / 1000))
+    else:
+        bitrate_kbps = 0
     return {
-        "n_frames": n_frames,
-        "duration_ms": int(round(total_ms)),
+        "n_frames": n_frames or (header_frames or 0),
+        "duration_ms": int(round(duration_ms)),
         "sample_rate": sample_rate,
-        "bitrate_kbps": int(round(sum(bitrates) / len(bitrates) / 1000)),
-        "vbr": len(set(bitrates)) > 1,
+        "bitrate_kbps": bitrate_kbps,
+        # "Info" is the CBR spelling of the tag; Xing/VBRI declare VBR
+        "vbr": (vbr_header in ("Xing", "VBRI")) or len(set(bitrates)) > 1,
+        "vbr_header": vbr_header,
+        "header_frames": header_frames,
+        "header_bytes": header_bytes,
     }
 
 

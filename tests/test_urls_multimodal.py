@@ -183,21 +183,10 @@ def test_multimodal_real_decode_in_pipeline(spark):
 
 # -- PNG real decode (stdlib zlib + scanline unfiltering) --------------------
 
-def _encode_png(px, ctype=2, filters=None, palette=None):
-    """Minimal test-side PNG encoder: exercises every scanline filter type
-    the decoder must undo (the encoder picks the filter per row)."""
-    import struct
-    import zlib
-
-    def chunk(typ, data):
-        c = struct.pack(">I", len(data)) + typ + data
-        return c + struct.pack(">I", zlib.crc32(typ + data))
-
-    h, w = px.shape[:2]
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-    flat = px.reshape(h, w * channels).astype(np.int64)
+def _png_filter_lines(flat, w, channels, filters):
+    """Filter the scanlines of one (sub-)image; returns the raw byte run."""
+    h = flat.shape[0]
     bpp = channels
-    filters = filters or [0] * h
     raw = bytearray()
     prev = np.zeros(w * channels, dtype=np.int64)
     for y in range(h):
@@ -232,7 +221,46 @@ def _encode_png(px, ctype=2, filters=None, palette=None):
         raw.append(f)
         raw.extend(bytes(enc.astype(np.uint8)))
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return raw
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_png(px, ctype=2, filters=None, palette=None, interlace=0):
+    """Minimal test-side PNG encoder: exercises every scanline filter type
+    the decoder must undo (the encoder picks the filter per row), plus
+    Adam7 interlace (each of the 7 sub-images filtered independently)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data))
+
+    h, w = px.shape[:2]
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    filters = filters or [0] * h
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw += _png_filter_lines(
+                sub.reshape(ph, pw * channels).astype(np.int64),
+                pw, channels, filters,
+            )
+    else:
+        raw = _png_filter_lines(
+            px.reshape(h, w * channels).astype(np.int64), w, channels,
+            filters,
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -251,6 +279,30 @@ def test_png_roundtrip_all_filters():
         got = decode_image(payload)
         assert got.shape == (16, 11, 3)
         assert np.array_equal(got, px), filters
+
+
+def test_png_adam7_interlace_roundtrip():
+    from baram_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    # odd dims exercise the per-pass ceil arithmetic (empty passes too for
+    # tiny images); every filter type inside the interlaced sub-images
+    for shape in [(16, 11, 3), (7, 5, 3), (3, 2, 3), (1, 1, 3), (9, 16, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = _encode_png(px, ctype=2, filters=[0, 1, 2, 3, 4],
+                              interlace=1)
+        got = decode_image(payload)
+        assert np.array_equal(got, px), shape
+    # interlaced palette + RGBA
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(10, 6, 1), dtype=np.uint8)
+    got = decode_image(_encode_png(idx, ctype=3, filters=[4], palette=palette,
+                                   interlace=1))
+    assert np.array_equal(got, palette[idx[..., 0]])
+    rgba = rng.integers(0, 256, size=(6, 7, 4), dtype=np.uint8)
+    got = decode_image(_encode_png(rgba, ctype=6, filters=[2, 3],
+                                   interlace=1))
+    assert np.array_equal(got, rgba[..., :3])
 
 
 def test_png_color_types():
@@ -408,10 +460,57 @@ def test_parse_mp3_frames():
                    for i in range(8))
     info = parse_mp3(vbr)
     assert info["n_frames"] == 8 and info["vbr"]
+    assert info["vbr_header"] is None
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
         parse_mp3(b"\x00\x01\x02 definitely not audio")
+
+
+def test_parse_mp3_xing_vbri_headers():
+    """Xing/Info/VBRI tag frames: counts parsed from the declared offsets,
+    the tag frame excluded from the audio count, header-declared duration
+    and byte-derived bitrate winning over the frame walk (they survive
+    truncation)."""
+    from baram_spark.operators.multimodal import parse_mp3
+
+    def frame(br_idx, first_payload=b""):
+        n = 144 * [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                   256, 320, 0][br_idx] * 1000 // 44100
+        head = bytes([0xFF, 0xFB, br_idx << 4, 0x00])
+        body = first_payload + b"\xAA" * (n - 4 - len(first_payload))
+        return head + body
+
+    n_declared, bytes_declared = 500, 800_000
+    def tag(name):
+        # MPEG1 stereo: tag at offset 32 past the 4-byte header
+        return (b"\x00" * 32 + name + (3).to_bytes(4, "big")
+                + n_declared.to_bytes(4, "big")
+                + bytes_declared.to_bytes(4, "big"))
+
+    xing = frame(9, tag(b"Xing")) + b"".join(frame(9) for _ in range(4))
+    info = parse_mp3(xing)
+    assert info["vbr_header"] == "Xing" and info["vbr"]
+    assert info["header_frames"] == n_declared
+    assert info["header_bytes"] == bytes_declared
+    assert info["n_frames"] == 4  # tag frame not audio
+    exp_ms = n_declared * 1152 * 1000 / 44100
+    assert abs(info["duration_ms"] - exp_ms) <= 1
+    assert info["bitrate_kbps"] == round(bytes_declared * 8 / exp_ms)
+
+    cbr_info = frame(9, tag(b"Info")) + b"".join(frame(9) for _ in range(4))
+    info = parse_mp3(cbr_info)
+    assert info["vbr_header"] == "Info" and not info["vbr"]
+    assert info["n_frames"] == 4
+
+    vbri_body = (b"\x00" * 32 + b"VBRI" + b"\x00\x01" + b"\x00\x00"
+                 + b"\x00\x64" + bytes_declared.to_bytes(4, "big")
+                 + n_declared.to_bytes(4, "big"))
+    vbri = frame(9, vbri_body) + b"".join(frame(9) for _ in range(3))
+    info = parse_mp3(vbri)
+    assert info["vbr_header"] == "VBRI" and info["vbr"]
+    assert info["header_frames"] == n_declared
+    assert info["n_frames"] == 3
 
 
 def test_audio_metadata_operator(spark):

@@ -8,20 +8,20 @@ Decode support is two-tier:
 
 - **Real decoders** (pure stdlib + numpy, no external codecs needed):
   24-bit BMP, binary PPM (P6), PNG (zlib inflate + scanline unfiltering;
-  8-bit gray/RGB/palette/alpha, incl. Adam7 interlace), and baseline JPEG
-  (SOF0: huffman entropy decode, dequant + de-zigzag, matrix IDCT,
-  chroma upsampling, restart markers) images, and PCM WAV audio. These
-  produce real pixel/sample arrays; features and resize operate on
-  actual decoded data.
+  8-bit gray/RGB/palette/alpha, incl. Adam7 interlace), and JPEG —
+  baseline SOF0/SOF1 AND progressive SOF2 (huffman entropy decode with
+  spectral-selection + successive-approximation scans, dequant +
+  de-zigzag, vectorized matrix IDCT, chroma upsampling, restart
+  markers) — images, and PCM WAV audio. These produce real pixel/sample
+  arrays; features and resize operate on actual decoded data.
 - **Real container parse** for MP4/ISO-BMFF (``parse_mp4``): the box walk
   + sample tables give frame sampling the ACTUAL coded-sample bytes at
   their real timestamps — only the codec payload decode (H.264...) stays
   stubbed.
 - **Deterministic stub** for formats whose codecs (ffmpeg/torchaudio)
-  are NOT in this container (MP3 audio, video codec payloads,
-  progressive JPEG) — clearly marked in ``_decode_stub``; swap its body
-  for a real decoder in production. The ``decoded`` output column
-  records which tier ran.
+  are NOT in this container (MP3 audio payload, video codec payloads) —
+  clearly marked in ``_decode_stub``; swap its body for a real decoder
+  in production. The ``decoded`` output column records which tier ran.
 """
 
 from __future__ import annotations
@@ -56,9 +56,9 @@ RESIZED_SCHEMA = (
 # -- real decoders (uncompressed formats; stdlib + numpy only) --------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode 24-bit BMP, binary PPM (P6), PNG, or baseline JPEG →
-    HxWx3 uint8 RGB. Raises ValueError for formats needing external
-    codecs (progressive JPEG, video frames...)."""
+    """Decode 24-bit BMP, binary PPM (P6), PNG (incl. Adam7), or JPEG
+    (baseline + progressive) → HxWx3 uint8 RGB. Raises ValueError for
+    formats needing external codecs (video frames...)."""
     if payload[:2] == b"BM":
         off = struct.unpack_from("<I", payload, 10)[0]
         w = struct.unpack_from("<i", payload, 18)[0]
@@ -286,19 +286,178 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_segments(scan: bytes) -> list[bytes]:
+    """Split entropy-coded data at RSTn markers; unstuff 0xFF00 → 0xFF."""
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan):
+        b = scan[i]
+        if b == 0xFF and i + 1 < len(scan):
+            nxt = scan[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _jpeg_block_first(bits, blk, c, ss, se, al, pred, state):
+    """First-pass decode of one block's [ss, se] band (T.81 F.2 / G.1.2):
+    baseline is the ss=0, se=63, al=0 special case; progressive AC-first
+    scans add the EOB-run. Coefficients land in ZIGZAG order."""
+    k = ss
+    if ss == 0:
+        t = _huff_decode(bits, c["dc_tbl"])
+        diff = _extend(bits.bits(t), t)
+        pred[c["id"]] += diff
+        blk[0] = pred[c["id"]] << al
+        k = 1
+        if se == 0:
+            return
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    while k <= se:
+        rs = _huff_decode(bits, c["ac_tbl"])
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOB(n): this block's band ends; the next 2^r - 1 + bits(r)
+            # blocks of the scan have an empty band too
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += bits.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        blk[k] = _extend(bits.bits(size), size) << al
+        k += 1
+
+
+def _jpeg_block_refine(bits, blk, c, ss, se, al, state):
+    """Successive-approximation refinement of one block's [ss, se] band
+    (T.81 G.1.2.3): correction bits for history-nonzero coefficients,
+    newly-nonzero coefficients appearing at bit position ``al``."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(bits, c["ac_tbl"])
+            r, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += bits.bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                val = p1 if bits.bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if bits.bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _jpeg_apply_scan(scan: dict, coeffs: dict, w: int, h: int,
+                     hmax: int, vmax: int, mcux: int, mcuy: int) -> None:
+    """Run one SOS over the coefficient store. Interleaved scans walk MCU
+    order; single-component scans walk the COMPONENT's own block grid
+    (ceil(comp px / 8), excluding MCU padding blocks — T.81 A.2.2)."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    comps = scan["comps"]
+    segments = scan["segments"]
+    ri = scan["ri"]
+    interleaved = len(comps) > 1
+    ctx = {
+        "bits": _JpegBits(segments[0]), "seg": 0,
+        "state": {"eobrun": 0},
+        "pred": {c["id"]: 0 for c in comps},
+    }
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c0 = comps[0]
+        cw = -(-(w * c0["h"]) // hmax)  # ceil: component pixel dims
+        ch = -(-(h * c0["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        n_units = bw * bh
+
+    def decode(blk, c):
+        if ah == 0:
+            _jpeg_block_first(ctx["bits"], blk, c, ss, se, al,
+                              ctx["pred"], ctx["state"])
+        elif ss == 0:  # DC refine: one correction bit per block
+            if ctx["bits"].bit():
+                blk[0] |= 1 << al
+        else:
+            _jpeg_block_refine(ctx["bits"], blk, c, ss, se, al,
+                               ctx["state"])
+
+    for unit in range(n_units):
+        if ri and unit and unit % ri == 0:
+            ctx["seg"] += 1
+            ctx["bits"] = _JpegBits(segments[ctx["seg"]])
+            ctx["state"] = {"eobrun": 0}
+            ctx["pred"] = {c["id"]: 0 for c in comps}
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        decode(
+                            coeffs[c["id"]][my * c["v"] + by,
+                                            mx * c["h"] + bx],
+                            c,
+                        )
+        else:
+            by, bx = divmod(unit, bw)
+            decode(coeffs[comps[0]["id"]][by, bx], comps[0])
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG (SOF0) decode with stdlib + numpy: marker parse,
-    huffman-decoded DCT coefficients, dequantize + de-zigzag, matrix
-    IDCT, chroma upsampling (any 1-2 h/v factors), YCbCr->RGB. Restart
-    markers supported; progressive (SOF2) and arithmetic coding raise."""
+    """JPEG decode with stdlib + numpy: marker parse, huffman-decoded DCT
+    coefficients, dequantize + de-zigzag, vectorized matrix IDCT, chroma
+    upsampling (any 1-2 h/v factors), YCbCr->RGB. Baseline (SOF0/SOF1)
+    and PROGRESSIVE (SOF2: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs) both decode for real;
+    restart markers supported in either mode. Hierarchical/lossless/
+    arithmetic variants raise."""
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps: list[dict] = []
     w = h = None
     restart_interval = 0
-    scan = None
-    scan_comps: list[dict] = []
+    scans: list[dict] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -327,7 +486,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     ).astype(np.int64)
                     i += 64
                 qt[tq] = tbl
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             n = seg[5]
@@ -335,10 +494,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline JPEG (SOF0) supported, got SOF{marker & 0xF}"
+                f"unsupported JPEG coding process SOF{marker & 0xF}"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -359,12 +518,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            scan_comps = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cid)
-                scan_comps.append(
-                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
-                )
+                # tables snapshotted NOW — DHT may redefine them between
+                # scans of a progressive stream
+                scan_comps.append({
+                    **comp,
+                    "dc_tbl": huff.get((0, tt >> 4)),
+                    "ac_tbl": huff.get((1, tt & 0xF)),
+                })
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             scan_start = pos + ln
             # entropy-coded data runs to the next non-RST marker
             end = scan_start
@@ -374,90 +540,42 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 ) and not (0xD0 <= payload[end + 1] <= 0xD7):
                     break
                 end += 1
-            scan = payload[scan_start:end]
+            scans.append({
+                "comps": scan_comps, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+                "segments": _jpeg_segments(payload[scan_start:end]),
+                "ri": restart_interval,
+            })
             pos = end
             continue
         pos += ln
-    if w is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if w is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
-                          dtype=np.float64)
-        for c in scan_comps
+    # coefficient store (zigzag order), accumulated across all scans
+    coeffs = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                          dtype=np.int64)
+        for c in comps
     }
+    for scan in scans:
+        _jpeg_apply_scan(scan, coeffs, w, h, hmax, vmax, mcux, mcuy)
 
-    # split at restart markers, unstuff each segment
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan):
-        b = scan[i]
-        if b == 0xFF and i + 1 < len(scan):
-            nxt = scan[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
-    bits = _JpegBits(segments[0])
-    seg_idx = 0
-    pred = {c["id"]: 0 for c in scan_comps}
-    n_mcus = mcux * mcuy
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            bits = _JpegBits(segments[seg_idx])
-            pred = {c["id"]: 0 for c in scan_comps}
-        my, mx = divmod(mcu, mcux)
-        for c in scan_comps:
-            dq = qt[c["tq"]]
-            dc_tbl = huff[(0, c["dc"])]
-            ac_tbl = huff[(1, c["ac"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64, dtype=np.int64)
-                    t = _huff_decode(bits, dc_tbl)
-                    diff = _extend(bits.bits(t), t)
-                    pred[c["id"]] += diff
-                    coef[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(bits, ac_tbl)
-                        r, size = rs >> 4, rs & 0xF
-                        if size == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        coef[k] = _extend(bits.bits(size), size)
-                        k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZIGZAG] = coef * dq
-                    px = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
-
-    # upsample to full res, crop, color-convert
+    # dequantize + de-zigzag + IDCT, vectorized over all blocks at once
     full = []
-    for c in scan_comps:
-        p = planes[c["id"]]
+    for c in comps:
+        arr = coeffs[c["id"]].astype(np.float64) * qt[c["tq"]]
+        nat = np.zeros_like(arr)
+        nat[..., _ZIGZAG] = arr
+        by, bx = nat.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _DCT_C.T, blocks,
+                       _DCT_C) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         full.append(p[:h, :w])

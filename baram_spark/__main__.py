@@ -188,6 +188,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     file=sys.stderr,
                 )
                 emb = embed_docs(spark.read.parquet(f"{args.index}/docs"))
+            # filter context applies to BOTH fusion inputs: an
+            # out-of-filter doc must not enter through the knn side
+            allowed = engine._allowed_docs(args.category, args.date_from,
+                                           args.date_to, args.publisher)
+            if allowed is not None:
+                from pyspark.sql import functions as F
+
+                emb = emb.join(F.broadcast(allowed.select("doc_id")),
+                               "doc_id", "left_semi")
             knn = knn_search(emb, args.query, k=args.k)
             hits = hybrid_search(hits, knn, k=args.k)
         print(json.dumps({
@@ -251,11 +260,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "maintenance":
         import urllib.request
 
-        from baram_spark.index.builder import IndexBuilder
+        from baram_spark.index.builder import IndexBuilder, index_n_shards
 
         idx = args.index.rstrip("/")
-        b = IndexBuilder(spark, idx)
-        report: dict = {"index": idx}
+        # the index's OWN shard count — merging with a different n_shards
+        # would silently re-shard the layout under index_meta
+        b = IndexBuilder(spark, idx, n_shards=index_n_shards(idx))
+        report: dict = {"index": idx, "n_shards": b.n_shards}
         report["merge"] = b.merge_generations()
         report["vacuum"] = b.vacuum(retain_snapshots=args.retain_snapshots)
         if not args.skip_cluster:
@@ -268,11 +279,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 report["cluster"] = {"skipped": "no embeddings table"}
         if args.notify:
-            req = urllib.request.Request(
-                f"{args.notify.rstrip('/')}/api/refresh", method="POST",
-                data=b"")
-            with urllib.request.urlopen(req, timeout=60) as r:
-                report["refresh"] = json.loads(r.read().decode("utf-8"))
+            # an unreachable node must not throw away the report of the
+            # maintenance work that already completed
+            try:
+                req = urllib.request.Request(
+                    f"{args.notify.rstrip('/')}/api/refresh",
+                    method="POST", data=b"")
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    report["refresh"] = json.loads(r.read().decode("utf-8"))
+            except Exception as e:
+                report["refresh"] = {"error": str(e)}
         print(json.dumps(report, default=str))
     if owns_spark:
         spark.stop()

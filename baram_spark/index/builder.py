@@ -72,6 +72,27 @@ def committed_gens(index_dir: str) -> list[int] | None:
     return sorted(int(g) for g in gens) if gens is not None else None
 
 
+def index_n_shards(index_dir: str, default: int = 8) -> int:
+    """The shard count an existing index was built with, from its
+    ``index_meta`` table. Maintenance operations MUST open the builder
+    with this value — merging with a different n_shards would silently
+    re-shard the layout out from under ``index_meta`` and the engine's
+    filter-cogroup shard math."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = f"{index_dir.rstrip('/')}/index_meta".removeprefix("file:")
+    if os.path.exists(meta):
+        try:
+            t = pq.read_table(meta, columns=["n_shards"])
+            if t.num_rows:
+                return int(t["n_shards"][0].as_py())
+        except Exception:
+            pass
+    return default
+
+
 def read_gen_table(spark: SparkSession, index_dir: str, table: str,
                    gens: list[int] | None = None) -> DataFrame:
     """Read a gen-partitioned index table at the COMMITTED snapshot.
@@ -954,13 +975,23 @@ class IndexBuilder:
         committed_before = self.committed_generations()
         if prior_gens:
             gen = max(prior_gens)
-            if gen not in committed_before and self._staged_gen_overlaps(
-                gen, committed_before
+            docs_gone = (
+                gen not in committed_before
+                and (f"docs.g{gen}", 0) in done
+                and not self._exists(f"{self.docs_path}/gen={gen}")
+            )
+            if gen not in committed_before and (
+                docs_gone or self._staged_gen_overlaps(gen, committed_before)
             ):
-                # the staged generation's dedup anti-join ran against an
-                # OLDER snapshot and a concurrent wave has since committed
-                # some of the same urls — resuming it would commit
-                # duplicates. Discard the staging, invalidate the wave's
+                # Two ways a staged generation becomes unresumable:
+                # (a) its dirs were reclaimed by a concurrent `vacuum`
+                #     (ledger says docs complete, dir gone) — resuming
+                #     would take the empty-wave path and silently DROP
+                #     the wave's documents;
+                # (b) its dedup anti-join ran against an OLDER snapshot
+                #     and a concurrent wave has since committed some of
+                #     the same urls — resuming would commit duplicates.
+                # Either way: discard the staging, invalidate the wave's
                 # ledger, and redo against the current snapshot.
                 self._remove_gen_dirs(gen)
                 self.ledger.invalidate(fingerprint)

@@ -490,6 +490,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             n = seg[5]
+            if n not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would silently decode as
+                # garbage if treated as YCbCr — fall to the stub tier
+                raise ValueError(f"JPEG with {n} components unsupported")
             for c in range(n):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
@@ -859,10 +863,14 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                                 bitrate_kbps=int(rate * byps * 8 / 1000),
                                 n_frames=n, ok=True,
                             )
-                    elif raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb",
-                                                          b"\xff\xfa",
-                                                          b"\xff\xf3",
-                                                          b"\xff\xf2"):
+                    elif raw[:3] == b"ID3" or (
+                        # any MPEG audio sync (11 set bits) with Layer III
+                        # — incl. MPEG-2.5 (0xFF 0xE2/0xE3), which
+                        # parse_mp3 fully supports
+                        len(raw) >= 2 and raw[0] == 0xFF
+                        and (raw[1] & 0xE0) == 0xE0
+                        and ((raw[1] >> 1) & 0x3) == 1
+                    ):
                         info = parse_mp3(raw)
                         row = dict(
                             container="mp3",
@@ -1016,21 +1024,38 @@ def parse_mp4(payload: bytes) -> dict:
             got = find(payload, bs, be, name)
             return got[0][0] if got else None
 
+        # every declared count is bounded by the payload size BEFORE any
+        # list is materialized: a corrupt/hostile header claiming 2^32
+        # samples must raise (→ decoded=false) instead of allocating
+        # gigabytes and getting the executor OOM-killed
+        cap = len(payload)
+
+        def checked(n, what):
+            if n < 0 or n > cap:
+                raise ValueError(
+                    f"MP4 {what} count {n} exceeds payload size {cap}"
+                )
+            return n
+
         # stts: sample durations → absolute timestamps
         p0 = full(b"stts")
         durs = []
         if p0 is not None:
-            n = int.from_bytes(payload[p0 + 4:p0 + 8], "big")
+            n = checked(int.from_bytes(payload[p0 + 4:p0 + 8], "big"),
+                        "stts entry")
             for i in range(n):
-                cnt = int.from_bytes(
-                    payload[p0 + 8 + 8 * i:p0 + 12 + 8 * i], "big")
+                cnt = checked(int.from_bytes(
+                    payload[p0 + 8 + 8 * i:p0 + 12 + 8 * i], "big"),
+                    "stts sample")
                 d = int.from_bytes(
                     payload[p0 + 12 + 8 * i:p0 + 16 + 8 * i], "big")
                 durs.extend([d] * cnt)
+                checked(len(durs), "stts total sample")
         # stsz: sizes
         p0 = full(b"stsz")
         default_size = int.from_bytes(payload[p0 + 4:p0 + 8], "big")
-        n_samples = int.from_bytes(payload[p0 + 8:p0 + 12], "big")
+        n_samples = checked(
+            int.from_bytes(payload[p0 + 8:p0 + 12], "big"), "stsz sample")
         if default_size:
             sizes = [default_size] * n_samples
         else:
@@ -1045,7 +1070,8 @@ def parse_mp4(payload: bytes) -> dict:
         if p0 is None:
             p0 = full(b"co64")
             width = 8
-        n_chunks = int.from_bytes(payload[p0 + 4:p0 + 8], "big")
+        n_chunks = checked(
+            int.from_bytes(payload[p0 + 4:p0 + 8], "big"), "stco chunk")
         chunk_offs = [
             int.from_bytes(
                 payload[p0 + 8 + width * i:p0 + 8 + width * (i + 1)], "big")
@@ -1053,7 +1079,8 @@ def parse_mp4(payload: bytes) -> dict:
         ]
         # stsc: samples per chunk runs
         p0 = full(b"stsc")
-        n_runs = int.from_bytes(payload[p0 + 4:p0 + 8], "big")
+        n_runs = checked(
+            int.from_bytes(payload[p0 + 4:p0 + 8], "big"), "stsc run")
         runs = [
             (
                 int.from_bytes(

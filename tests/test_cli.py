@@ -130,3 +130,70 @@ def test_cli_maintenance(capsys, spark, cli_index):
         )
     finally:
         srv.shutdown()
+
+
+def test_cli_maintenance_preserves_shard_count(capsys, spark, tmp_path):
+    """maintenance must open the index with ITS OWN shard count (from
+    index_meta) — merging with the default 8 would silently re-shard the
+    postings under the engine's filter-cogroup math."""
+    from baram_spark.index.builder import IndexBuilder, index_n_shards
+    from baram_spark.query.engine import SearchEngine
+
+    out = f"{tmp_path}/shardidx"
+    b = IndexBuilder(spark, out, n_shards=4, salt_threshold=10**9,
+                     build_embeddings=True)
+    b.build(pages_df(spark, 120, partitions=2), fingerprint="s1")
+    b.build_incremental(pages_df(spark, 160, partitions=2),
+                        fingerprint="s2")
+    rep = _run(capsys, spark, ["maintenance", "--index", out,
+                               "--skip-cluster"])
+    assert rep["n_shards"] == 4
+    assert index_n_shards(out) == 4
+    shards = {
+        int(r["shard"])
+        for r in spark.read.parquet(f"{out}/postings")
+        .select("shard").distinct().collect()
+    }
+    assert shards <= {0, 1, 2, 3}
+    # filtered search still cogroups correctly post-merge
+    eng = SearchEngine(spark, out)
+    q = make_query_set()[0]["query_text"]
+    local = eng.search(q, k=5, mode="local", category="sports")
+    dist = eng.search(q, k=5, mode="distributed", category="sports")
+    assert local == dist
+
+
+def test_cli_maintenance_notify_failure_keeps_report(capsys, spark,
+                                                     tmp_path):
+    """An unreachable serving node must not throw away the report of the
+    maintenance work that already completed."""
+    from baram_spark.index.builder import IndexBuilder
+
+    out = f"{tmp_path}/notifyidx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 100, partitions=2), fingerprint="n1")
+    rep = _run(capsys, spark, [
+        "maintenance", "--index", out, "--skip-cluster",
+        "--notify", "http://127.0.0.1:9",  # discard port: refused
+    ])
+    assert "error" in rep["refresh"]
+    assert "merge" in rep and "vacuum" in rep
+
+
+def test_cli_hybrid_respects_filters(capsys, spark, cli_index):
+    """--hybrid fuses bm25 with knn; the filter context must constrain
+    BOTH inputs — an out-of-filter doc must not enter via the knn side."""
+    q = make_query_set()[0]["query_text"]
+    pub = "바람일보"
+    out = _run(capsys, spark, [
+        "search", "--index", cli_index, "--query", q, "--k", "5",
+        "--hybrid", "--publisher", pub,
+    ])
+    assert out["hits"]
+    ids = [h["doc_id"] for h in out["hits"]]
+    pubs = {
+        r["doc_id"]: r["publisher"]
+        for r in spark.read.parquet(f"{cli_index}/docs")
+        .select("doc_id", "publisher").collect()
+    }
+    assert all(pubs[d] == pub for d in ids), [(d, pubs[d]) for d in ids]

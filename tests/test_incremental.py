@@ -394,3 +394,45 @@ def test_occ_conflict_retry(spark, tmp_path):
     assert _norm(eng.search(q, k=10, mode="local")) == _norm(
         _oracle(spark, out).search(q, k=10)
     )
+
+
+def test_occ_retry_survives_concurrent_vacuum(spark, tmp_path):
+    """A concurrent maintenance job (merge + vacuum) that reclaims a
+    wave's staged-but-uncommitted generation dirs must NOT make the
+    retried wave silently commit a no-op: the retry detects the
+    ledger-complete-but-dir-missing state, invalidates, and redoes the
+    wave — no documents are lost."""
+    from baram_spark.index.builder import SnapshotConflictError
+
+    out = f"{tmp_path}/occ_vac"
+    b1 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b1.build(pages_df(spark, 100, partitions=2), fingerprint="base")
+    b1.build_incremental(pages_df(spark, 160, partitions=2),
+                         fingerprint="w1")
+
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    wave = pages_df(spark, 240, partitions=2)  # new urls 160..240
+
+    fired = {"n": 0}
+    orig = b1._stage_term_stats
+
+    def hooked(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            b2.merge_generations()   # advances the snapshot
+            b2.vacuum(retain_snapshots=1)  # reclaims b1's staged gen dirs
+        return orig(*a, **kw)
+
+    b1._stage_term_stats = hooked
+    with pytest.raises(SnapshotConflictError):
+        b1.build_incremental(wave, fingerprint="w2")
+
+    metrics = b1.build_incremental(wave, fingerprint="w2", occ_retries=2)
+    assert metrics.get("docs_out", 0) > 0  # the wave was redone, not no-op'd
+    docs = spark.read.parquet(f"{out}/docs")
+    gens = b1.committed_generations()
+    committed = docs.filter(docs.gen.isin(gens))
+    # every wave-2 url (minus generator-deleted pages) made it in
+    n_new = committed.filter(F.col("aid").cast("long") >= 160).count()
+    assert n_new > 0
+    assert committed.count() == committed.select("url").distinct().count()

@@ -552,3 +552,85 @@ def test_audio_metadata_operator(spark):
     assert rows[2]["bitrate_kbps"] == 128
     assert abs(rows[2]["duration_ms"] - 20 * 1152 * 1000 / 44100) <= 1
     assert not rows[3]["ok"]
+
+
+def test_mp4_hostile_counts_raise_not_allocate():
+    """A corrupt/hostile MP4 declaring 2^32 samples must raise a parse
+    error (-> decoded=false tier) instead of materializing a
+    multi-gigabyte list and getting the executor OOM-killed."""
+    import struct
+    import time
+
+    from baram_spark.operators.multimodal import parse_mp4
+
+    def box(name, payload_):
+        return struct.pack(">I", 8 + len(payload_)) + name + payload_
+
+    stts = box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+               + struct.pack(">II", 0xFFFFFFFF, 100))
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 64, 4))
+    stco = box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+               + struct.pack(">I", 0))
+    stsc = box(b"stsc", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+               + struct.pack(">III", 1, 4, 1))
+    stbl = box(b"stbl", stts + stsz + stco + stsc)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdhd = box(b"mdhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", 1000, 1000) + b"\x00" * 4)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", 1000, 1000) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    payload = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exceeds payload size"):
+        parse_mp4(payload)
+    assert time.time() - t0 < 2.0  # fails fast, no allocation
+
+
+def test_jpeg_cmyk_component_count_raises():
+    """4-component (Adobe CMYK) JPEGs must raise — decoding them as
+    YCbCr produces garbage pixels flagged decoded=true."""
+    import struct
+
+    from baram_spark.operators.multimodal import decode_image
+
+    sof = struct.pack(">HBHHB", 8 + 3 * 4, 8, 8, 8, 4)
+    for i in range(4):
+        sof += bytes([i + 1, 0x11, 0])
+    payload = (b"\xff\xd8" + b"\xff\xc0" + sof
+               + b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+               + bytes([1, 0x00]) + bytes([0, 63, 0])
+               + b"\x00" * 32 + b"\xff\xd9")
+    with pytest.raises(ValueError, match="components unsupported"):
+        decode_image(payload)
+
+
+def test_audio_metadata_mpeg25_no_id3(spark):
+    """Tagless MPEG-2.5 Layer III (sync 0xFF 0xE3) must be sniffed as
+    mp3 — parse_mp3 fully supports version 2.5 (576 samples/frame)."""
+    from baram_spark.operators.multimodal import audio_metadata, parse_mp3
+
+    def frame25(br_idx):
+        # MPEG-2.5 Layer III: 0xFF, sync+ver=00+layer=01+no-crc -> 0xE3
+        bitrate = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160, 0][br_idx] * 1000
+        n = 576 // 8 * bitrate // 11025
+        return bytes([0xFF, 0xE3, (br_idx << 4) | 0, 0x00]) \
+            + b"\xAA" * (n - 4)
+
+    mp3 = b"".join(frame25(9) for _ in range(6))
+    info = parse_mp3(mp3)
+    assert info["n_frames"] == 6 and info["sample_rate"] == 11025
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(mp3), "audio/mpeg", None, None, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    row = audio_metadata(media).collect()[0]
+    assert row["ok"] and row["container"] == "mp3"
+    assert row["sample_rate"] == 11025 and row["n_frames"] == 6

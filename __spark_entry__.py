@@ -501,6 +501,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def q_tpch_q4(spark, sf_dir):
+        # order-priority check: EXISTS → LEFT SEMI join (no duplication,
+        # no distinct), one shuffle-agg on the tiny priority key.
+        # (schema has no commitdate/receiptdate; the lateness predicate
+        # is l_shipdate > o_orderdate)
+        orders = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        late = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate"
+        )
+        return (
+            orders.join(
+                late,
+                (F.col("l_orderkey") == F.col("o_orderkey"))
+                & (F.col("l_shipdate") > F.col("o_orderdate")),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
+    def q_tpch_q7(spark, sf_dir):
+        # volume shipping between two nations, both directions: the
+        # nation dim joins twice (broadcast), revenue bucketed by year
+        nation = _t(spark, sf_dir, "nation")
+        n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                           F.col("n_name").alias("supp_nation"))
+        n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                           F.col("n_name").alias("cust_nation"))
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        supp = _t(spark, sf_dir, "supplier")
+        pair = (F.col("supp_nation") == "NATION_1") & (
+            F.col("cust_nation") == "NATION_2"
+        ) | (F.col("supp_nation") == "NATION_2") & (
+            F.col("cust_nation") == "NATION_1"
+        )
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(pair)
+            .groupBy(
+                "supp_nation", "cust_nation",
+                F.year("l_shipdate").cast("long").alias("l_year"),
+            )
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        )
+
+    def q_tpch_q10(spark, sf_dir):
+        # returned-item reporting: quarter of orders, returns only,
+        # top-20 customers by lost revenue
+        orders = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= "1996-10-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        li = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        )
+        cust = _t(spark, sf_dir, "customer")
+        nation = _t(spark, sf_dir, "nation")
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+        )
+
     def q_sessionize(spark, sf_dir):
         # event-time session windows over the events table (native
         # session_window; batch mode — watermark is a no-op). Session
@@ -543,7 +629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
     }
 
@@ -867,6 +956,41 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name ASC""",
+        "tpch_q4": """SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        "tpch_q7": """SELECT supp_nation, cust_nation, l_year,
+                   ROUND(sum(volume), 6) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                             AS l_year,
+                         l_extendedprice * (1 - l_discount) AS volume
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "tpch_q10": """SELECT c_custkey, c_name, c_acctbal, n_name,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
         "tpch_q18": """SELECT c_name, c_custkey, o_orderkey,
                    o_orderdate AS orderdate, o_totalprice,
                    ROUND(sum_qty, 6) AS sum_qty

@@ -8,9 +8,10 @@ Commands (mirroring the reference CLI, ``/root/reference/src/main.rs``):
     index   --pages PATH --out DIR [--shards N] [--salt-threshold N]
             [--fingerprint F] [--no-resume] [--incremental] [--since TS]
     search  --index DIR --query TEXT [--k K] [--mode local|distributed]
-            [--min-score X] [--hybrid] [--category C]
+            [--min-score X] [--hybrid] [--category C] [--publisher P]
             [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD]
     serve   --index DIR [--host H] [--port P]    (REST /api/search + /api/health)
+    embed-serve [--host H] [--port P] [--dim D]  (standalone embedding service)
     stats   --index DIR                          (doc/postings/generation counts)
     cluster --index DIR [--threshold X] [--min-size N] [--out PATH]
     maintenance --index DIR [--retain-snapshots N] [--skip-cluster]

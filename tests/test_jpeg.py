@@ -555,3 +555,27 @@ def test_jpeg_progressive_flows_through_feature_pipeline(spark):
     )
     row = extract_features(media).collect()[0]
     assert row["ok"] and row["decoded"]
+
+
+# -- property-based (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.sampled_from([0, 1, 2]),               # al levels for dc/ac
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_equals_sequential_property(h, w, seed, al):
+    """For any image size (odd dims, tiny images, single pixels) and any
+    successive-approximation depth, the progressive scan script must
+    reconstruct EXACTLY the same pixels as one sequential scan."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    prog = decode_image(encode_jpeg_progressive(px, al_dc=al, al_ac=al))
+    seq = decode_image(encode_jpeg(px))
+    assert np.array_equal(prog, seq), (h, w, al)

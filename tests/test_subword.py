@@ -113,3 +113,28 @@ def test_documents_table_end_to_end(spark):
     total_tokens = sum(r["token_count"] for r in rows)
     total_bytes = sum(len(t.encode("utf-8")) for t in texts.values())
     assert total_tokens < total_bytes * 0.7
+
+
+# -- property-based (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PROP_TOK = BpeTokenizer(train_bpe(_local_counts(CORPUS), vocab_size=400))
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_any_text_roundtrips_losslessly(t):
+    ids = _PROP_TOK.encode(t)
+    assert _PROP_TOK.decode(ids) == t
+    assert all(0 <= i < _PROP_TOK.vocab_size for i in ids)
+
+
+@given(st.text(max_size=200), st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_concatenated_text_roundtrips(a, b):
+    # merges may cross the join point's pre-token boundary differently
+    # than in either part alone — decode must still be lossless
+    ids = _PROP_TOK.encode(a + b)
+    assert _PROP_TOK.decode(ids) == a + b

@@ -912,7 +912,7 @@ class IndexBuilder:
 
     def build_incremental(self, pages: DataFrame, fingerprint: str,
                           since=None, resume: bool = True,
-                          occ_retries: int = 0) -> dict:
+                          occ_retries: int = 0, bloom=None) -> dict:
         """Append a new generation with only NEW pages.
 
         ``since`` prunes by warc_ts before any content is read (partition
@@ -930,12 +930,22 @@ class IndexBuilder:
         correctly (the union is taken against its new list). If the
         concurrent writer indexed some of the SAME urls, the staged
         generation is discarded and the wave re-runs against the new
-        snapshot, so the no-duplicate-url invariant survives the race."""
+        snapshot, so the no-duplicate-url invariant survives the race.
+
+        ``bloom``: an optional :class:`~baram_spark.operators.bloom.
+        CommittedUrlBloom` — a SUPERSET summary of the committed urls
+        (the reference's 3-tier dedup fast-reject, dedup.rs:856-970).
+        When NO url in this wave might be indexed, the committed-urls
+        anti-join is skipped entirely — the common all-new forward-crawl
+        case. Only consulted while ``bloom.authoritative`` holds, and
+        never on a conflict retry (a concurrent writer's urls are not in
+        our filter) — correctness always falls back to the anti-join."""
         attempt = 0
         while True:
             try:
                 return self._build_incremental_once(
                     pages, fingerprint, since, resume,
+                    bloom=bloom if attempt == 0 else None,
                 )
             except SnapshotConflictError:
                 attempt += 1
@@ -957,7 +967,8 @@ class IndexBuilder:
         return staged.join(known, "url", "left_semi").limit(1).count() > 0
 
     def _build_incremental_once(self, pages: DataFrame, fingerprint: str,
-                                since=None, resume: bool = True) -> dict:
+                                since=None, resume: bool = True,
+                                bloom=None) -> dict:
         base_sid = self._begin()
         self._write_index_meta()
         done = self.ledger.completed(fingerprint) if resume else set()
@@ -992,11 +1003,15 @@ class IndexBuilder:
                 #     and a concurrent wave has since committed some of
                 #     the same urls — resuming would commit duplicates.
                 # Either way: discard the staging, invalidate the wave's
-                # ledger, and redo against the current snapshot.
+                # ledger, and redo against the current snapshot. The
+                # discard is concurrency evidence — our bloom may miss
+                # the other writer's urls, so it must not skip the
+                # anti-join for this wave.
                 self._remove_gen_dirs(gen)
                 self.ledger.invalidate(fingerprint)
                 done = set()
                 gen = self._next_gen()
+                bloom = None
         else:
             gen = self._next_gen()
         metrics: dict = {"fingerprint": fingerprint, "gen": gen,
@@ -1004,13 +1019,27 @@ class IndexBuilder:
         if since is not None:
             pages = pages.filter(F.col("warc_ts") >= F.lit(since))
         if gen > 0 and committed_before:
-            # checkpoint anti-join against COMMITTED urls only — a retained
-            # superseded gen may hold urls whose docs were deleted in the
-            # merge; those must be re-indexable
-            known = read_gen_table(
-                self.spark, self.out, "docs", gens=committed_before
-            ).select("url")
-            pages = pages.join(known, "url", "left_anti")
+            skip_dedup = False
+            if bloom is not None and getattr(bloom, "authoritative", True):
+                # bloom fast-reject tier (3-tier dedup, dedup.rs:856-970):
+                # a skinny url-column pass with an Arrow-batched
+                # membership test — the html column is never read. Zero
+                # maybe-seen urls → the whole anti-join is skipped.
+                from ..operators.bloom import membership_udf
+
+                n_maybe = pages.where(
+                    membership_udf(bloom)(F.col("url"))
+                ).count()
+                metrics["bloom_maybe_seen"] = int(n_maybe)
+                skip_dedup = n_maybe == 0
+            if not skip_dedup:
+                # checkpoint anti-join against COMMITTED urls only — a
+                # retained superseded gen may hold urls whose docs were
+                # deleted in the merge; those must be re-indexable
+                known = read_gen_table(
+                    self.spark, self.out, "docs", gens=committed_before
+                ).select("url")
+                pages = pages.join(known, "url", "left_anti")
         stage = lambda name: f"{name}.g{gen}"
         self._stage_extract_tokenize(
             pages, gen, stage("docs"), stage("doc_terms"), fingerprint, done,

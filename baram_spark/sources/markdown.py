@@ -1,0 +1,168 @@
+"""Markdown article source/sink (S7/S8) — the migration path for a
+reference user's EXISTING markdown corpus.
+
+The reference crawler writes one markdown file per article through a
+handlebars template (``/root/reference/templates/article.hbs``,
+``src/storage/markdown.rs:25-140``) and its indexer re-parses those files
+into IndexDocuments (``src/commands/index.rs:402-520``). This module
+mirrors BOTH directions:
+
+- :func:`parse_markdown` reproduces the reference parser's exact
+  semantics: title = first ``# `` heading (frontmatter title is quoted
+  display metadata), frontmatter = the first two ``---`` delimiters with
+  ``key: value`` pairs (values stripped of quotes), oid/aid fall back to
+  the ``<oid>_<aid>`` filename stem, ``published_at`` normalized to ISO
+  8601 the same way (space→``T`` + ``:00Z``), and the body keeps every
+  non-empty non-frontmatter line — including headings and separators —
+  exactly as the reference does.
+- :func:`render_markdown` emits the default article template
+  byte-compatibly, so render → parse round-trips.
+- :func:`read_markdown_dir` / :func:`markdown_docs` are the Spark
+  surface: whole-file text scan → Arrow-batched parse into the pages/docs
+  column shape (narrow, shuffle-free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: output columns of the Spark parse (superset of IndexDocument's
+#: metadata; content is the reference's joined body)
+DOC_SCHEMA = (
+    "path string, id string, oid string, aid string, title string, "
+    "content string, category string, publisher string, author string, "
+    "url string, published_at string, content_hash string"
+)
+
+_META_KEYS = {"oid", "aid", "category", "publisher", "author", "url",
+              "content_hash"}
+
+
+def _iso_date(dt: str | None) -> str | None:
+    """The reference's published_at normalization (index.rs:483-503):
+    skip empty / non-digit-leading values; pass through ISO; otherwise
+    ``YYYY-MM-DD HH:MM`` → ``YYYY-MM-DDTHH:MM:00Z``."""
+    if dt is None:
+        return None
+    dt = dt.strip()
+    if not dt or not dt[0].isdigit():
+        return None
+    if "T" in dt:
+        return dt
+    return dt.replace(" ", "T") + ":00Z"
+
+
+def parse_markdown(text: str, filename: str | None = None) -> dict:
+    """One markdown article → IndexDocument-shaped dict
+    (index.rs:402-520 semantics, mirrored exactly)."""
+    lines = text.splitlines()
+    title = next(
+        (ln[2:].strip() for ln in lines if ln.startswith("# ")), "Untitled"
+    )
+    meta: dict[str, str] = {}
+    published_at: str | None = None
+    delims = 0
+    in_meta = False
+    body: list[str] = []
+    for ln in lines:
+        if ln.startswith("---") and delims < 2:
+            delims += 1
+            in_meta = delims == 1
+            continue
+        if in_meta:
+            if ":" in ln:
+                key, value = ln.split(":", 1)
+                key = key.strip()
+                value = value.strip().strip('"')
+                if key in _META_KEYS:
+                    meta[key] = value
+                elif key in ("published_at", "date"):
+                    published_at = value
+        elif ln:  # non-empty body line (headings/separators included,
+            body.append(ln)  # exactly like the reference parser)
+    oid, aid = meta.get("oid", ""), meta.get("aid", "")
+    if not oid or not aid:
+        stem = os.path.splitext(os.path.basename(filename or "unknown"))[0]
+        if "_" in stem:
+            oid, aid = stem.split("_", 1)
+        else:
+            oid, aid = "000", stem
+    return {
+        "id": f"{oid}_{aid}",
+        "oid": oid,
+        "aid": aid,
+        "title": title,
+        "content": "\n".join(body),
+        "category": meta.get("category", ""),
+        "publisher": meta.get("publisher") or None,
+        "author": meta.get("author") or None,
+        "url": meta.get("url", ""),
+        "published_at": _iso_date(published_at),
+        "content_hash": meta.get("content_hash") or None,
+    }
+
+
+def render_markdown(doc: dict) -> str:
+    """The default article template (templates/article.hbs), rendered
+    byte-compatibly: render → :func:`parse_markdown` round-trips."""
+    d = {k: ("" if doc.get(k) is None else str(doc.get(k)))
+         for k in ("id", "title", "content", "category", "publisher",
+                   "author", "published_at", "crawled_at", "url", "oid",
+                   "aid", "content_hash")}
+    return (
+        "---\n"
+        f"id: {d['id']}\n"
+        f"title: \"{d['title']}\"\n"
+        f"category: {d['category']}\n"
+        f"publisher: {d['publisher']}\n"
+        f"author: {d['author']}\n"
+        f"published_at: {d['published_at']}\n"
+        f"crawled_at: {d['crawled_at']}\n"
+        f"url: {d['url']}\n"
+        f"oid: {d['oid']}\n"
+        f"aid: {d['aid']}\n"
+        f"content_hash: {d['content_hash']}\n"
+        "---\n\n"
+        f"# {d['title']}\n\n"
+        f"**{d['publisher']}** | {d['published_at']} | {d['category']}\n\n"
+        "---\n\n"
+        f"{d['content']}\n\n"
+        "---\n\n"
+        f"*Crawled at: {d['crawled_at']}*\n"
+        f"*Source: [원문 보기]({d['url']})*\n"
+    )
+
+
+def markdown_docs(df: DataFrame, content_col: str = "value",
+                  path_col: str = "path") -> DataFrame:
+    """(path, whole-file text) rows → parsed document rows. Arrow-batched
+    and narrow: the parse runs where the file rows already live."""
+    import pandas as pd
+
+    cols = [c.split(" ")[0] for c in DOC_SCHEMA.split(", ")]
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for path, text in zip(pdf[path_col], pdf[content_col]):
+                parsed = parse_markdown(text or "", filename=path)
+                parsed["path"] = path
+                rows.append([parsed.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=DOC_SCHEMA
+    )
+
+
+def read_markdown_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file scan of a markdown corpus directory → parsed documents.
+    At scale the text source splits across executors per file; the parse
+    is a narrow map."""
+    files = (
+        spark.read.text(f"{path.rstrip('/')}/*.md", wholetext=True)
+        .withColumn("path", F.input_file_name())
+    )
+    return markdown_docs(files)

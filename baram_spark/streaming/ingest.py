@@ -36,6 +36,7 @@ def stream_build(
     available_now: bool = True,
     schema: str = PAGES_SCHEMA,
     occ_retries: int = 3,
+    bloom_prefilter: bool = False,
 ):
     """Drain all unprocessed page files into incremental index generations.
 
@@ -47,18 +48,53 @@ def stream_build(
     micro-batch's base read and its manifest swap; the batch's commit then
     aborts with ``SnapshotConflictError`` and is retried against the new
     snapshot (staged work resumes from the ledger, term_stats recomputed
-    over the union) — the stream never loses a batch to upkeep jobs."""
+    over the union) — the stream never loses a batch to upkeep jobs.
+
+    ``bloom_prefilter``: maintain a driver-side
+    :class:`~baram_spark.operators.bloom.CommittedUrlBloom` — the
+    reference's 3-tier dedup fast-reject tier (dedup.rs:856-970). Seeded
+    from the COMMITTED urls at stream start (one distributed pass) so it
+    is a sound superset; micro-batches whose urls are all definitely-new
+    then skip the committed-urls anti-join entirely — the common
+    forward-crawl case. If inserts outgrow the seeded capacity the
+    filter loses authority and every batch falls back to the anti-join
+    (correctness never depends on the bloom)."""
     builder = IndexBuilder(
         spark, index_dir, n_shards=n_shards, salt_threshold=salt_threshold
     )
+    bloom = None
+    if bloom_prefilter:
+        import os
+
+        from ..operators.bloom import CommittedUrlBloom
+
+        committed = builder.committed_generations()
+        if committed and os.path.exists(
+            builder.docs_path.removeprefix("file:")
+        ):
+            from ..index.builder import read_gen_table
+
+            bloom = CommittedUrlBloom.seed(
+                read_gen_table(spark, index_dir, "docs", gens=committed)
+                .select("url")
+            )
+        else:
+            bloom = CommittedUrlBloom()  # nothing committed: vacuously
+            # a superset; the first wave has no anti-join anyway
 
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         builder.build_incremental(
             batch_df, fingerprint=f"stream-batch-{batch_id}",
-            occ_retries=occ_retries,
+            occ_retries=occ_retries, bloom=bloom,
         )
+        if bloom is not None:
+            # feed the fast-reject tier AFTER the commit so a failed
+            # batch never poisons the filter
+            bloom.add_many(
+                r["url"] for r in batch_df.select("url").collect()
+            )
 
     stream = (
         spark.readStream.schema(schema)

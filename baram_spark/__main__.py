@@ -5,8 +5,9 @@
 
 Commands (mirroring the reference CLI, ``/root/reference/src/main.rs``):
 
-    index   --pages PATH --out DIR [--shards N] [--salt-threshold N]
-            [--fingerprint F] [--no-resume] [--incremental] [--since TS]
+    index   (--pages PATH | --markdown DIR) --out DIR [--shards N]
+            [--salt-threshold N] [--fingerprint F] [--no-resume]
+            [--incremental] [--since TS]
     search  --index DIR --query TEXT [--k K] [--mode local|distributed]
             [--min-score X] [--hybrid] [--category C] [--publisher P]
             [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD]
@@ -35,7 +36,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_index = sub.add_parser("index")
-    p_index.add_argument("--pages", required=True)
+    src = p_index.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages")
+    # the reference `index` command's markdown-corpus path: parse the
+    # crawler's markdown files and index WITHOUT re-extraction
+    src.add_argument("--markdown")
     p_index.add_argument("--out", required=True)
     p_index.add_argument("--shards", type=int, default=8)
     p_index.add_argument("--salt-threshold", type=int, default=50_000)
@@ -144,19 +149,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "index":
         from baram_spark.index.builder import IndexBuilder
 
-        pages = spark.read.parquet(args.pages)
         builder = IndexBuilder(
             spark, args.out, n_shards=args.shards,
             salt_threshold=args.salt_threshold,
             build_embeddings=args.embeddings,
         )
         fp = args.fingerprint or f"cli-{int(time.time())}"
-        if args.incremental:
-            metrics = builder.build_incremental(
-                pages, fp, since=args.since, resume=not args.no_resume
+        if args.markdown:
+            from baram_spark.sources.markdown import (
+                read_markdown_dir,
+                to_index_docs,
             )
+
+            docs = to_index_docs(read_markdown_dir(spark, args.markdown))
+            metrics = builder.build_docs(docs, fp,
+                                         resume=not args.no_resume)
         else:
-            metrics = builder.build(pages, fp, resume=not args.no_resume)
+            pages = spark.read.parquet(args.pages)
+            if args.incremental:
+                metrics = builder.build_incremental(
+                    pages, fp, since=args.since, resume=not args.no_resume
+                )
+            else:
+                metrics = builder.build(pages, fp,
+                                        resume=not args.no_resume)
         print(json.dumps(metrics, default=str))
     elif args.cmd == "search":
         from baram_spark.query.engine import SearchEngine

@@ -72,6 +72,43 @@ def committed_gens(index_dir: str) -> list[int] | None:
     return sorted(int(g) for g in gens) if gens is not None else None
 
 
+_DOC_COLS = ("doc_id", "url", "oid", "aid", "title", "text", "category",
+             "published_at", "publisher", "author", "format",
+             "content_hash", "warc_ts", "lang")
+
+
+def _normalize_docs(docs: DataFrame) -> DataFrame:
+    """Conform a pre-parsed documents DataFrame to the docs-table schema:
+    required identity/content columns must exist, optional columns get
+    defaults (content_hash = sha256(text), format 'imported'), ISO-string
+    published_at is cast to timestamp."""
+    required = ("doc_id", "url", "oid", "aid", "title", "text")
+    missing = [c for c in required if c not in docs.columns]
+    if missing:
+        raise ValueError(f"build_docs input missing columns: {missing}")
+    out = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    defaults = {
+        "category": F.lit(""),
+        "published_at": F.lit(None).cast("timestamp"),
+        "publisher": F.lit(None).cast("string"),
+        "author": F.lit(None).cast("string"),
+        "format": F.lit("imported"),
+        "content_hash": F.sha2(F.col("text"), 256),
+        "warc_ts": F.lit(None).cast("timestamp"),
+        "lang": F.lit(None).cast("string"),
+    }
+    for c, expr in defaults.items():
+        if c not in out.columns:
+            out = out.withColumn(c, expr)
+    if dict(out.dtypes).get("published_at") == "string":
+        # tolerate malformed dates (null) like the reference's parser
+        out = out.withColumn(
+            "published_at",
+            F.try_to_timestamp(F.regexp_replace("published_at", "Z$", "")),
+        )
+    return out.select(*_DOC_COLS)
+
+
 def index_n_shards(index_dir: str, default: int = 8) -> int:
     """The shard count an existing index was built with, from its
     ``index_meta`` table. Maintenance operations MUST open the builder
@@ -905,6 +942,53 @@ class IndexBuilder:
         )
         self._stage_postings(0, "postings", fingerprint, done, metrics)
         gens = sorted(set(self.committed_generations()) | {0})
+        self._stage_term_stats("term_stats", fingerprint, done, metrics,
+                               gens=gens)
+        self._commit_manifest(gens, base_sid=base_sid)
+        return metrics
+
+    def build_docs(self, docs: DataFrame, fingerprint: str,
+                   resume: bool = True) -> dict:
+        """Fresh build from PRE-PARSED documents — the reference `index`
+        command's markdown-corpus path (src/commands/index.rs:402-520 →
+        bulk index), which bypasses HTML extraction entirely.
+
+        ``docs`` must carry (doc_id, url, oid, aid, title, text) and may
+        carry the other docs-table columns; missing optional columns are
+        filled with defaults (content_hash = sha256(text), format
+        'imported'). Everything downstream of extraction — tokenize,
+        doc_attrs, optional embeddings, postings, stats, manifest — is
+        the standard pipeline, so queries are indistinguishable from an
+        HTML-built index."""
+        base_sid = self._begin()
+        self._write_index_meta()
+        done = self.ledger.completed(fingerprint) if resume else set()
+        metrics: dict = {"fingerprint": fingerprint, "gen": 0,
+                         "resumed_stages": []}
+        gen = 0
+        if ("docs", 0) not in done or not self._exists(
+            f"{self.docs_path}/gen={gen}"
+        ):
+            prepared = _normalize_docs(docs)
+            obs = Observation("docs_direct")
+            with StageTimer() as t:
+                (
+                    prepared.observe(obs, F.count(F.lit(1)).alias("rows"))
+                    .write.mode("overwrite")
+                    .parquet(f"{self.docs_path}/gen={gen}")
+                )
+            n_out = int(obs.get["rows"])
+            self.ledger.record("docs", 0, fingerprint, 0, n_out, t.seconds)
+            metrics["docs_out"] = n_out
+        else:
+            metrics["resumed_stages"].append("docs")
+        # the docs-on-disk branch finishes tokenize/embeddings/attrs
+        self._stage_extract_tokenize(
+            None, gen, "docs", "doc_terms", fingerprint,
+            done | {("docs", 0)}, metrics,
+        )
+        self._stage_postings(gen, "postings", fingerprint, done, metrics)
+        gens = sorted(set(self.committed_generations()) | {gen})
         self._stage_term_stats("term_stats", fingerprint, done, metrics,
                                gens=gens)
         self._commit_manifest(gens, base_sid=base_sid)

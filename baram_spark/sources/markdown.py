@@ -107,7 +107,19 @@ def parse_markdown(text: str, filename: str | None = None) -> dict:
 def render_markdown(doc: dict) -> str:
     """The default article template (templates/article.hbs), rendered
     byte-compatibly: render → :func:`parse_markdown` round-trips."""
-    d = {k: ("" if doc.get(k) is None else str(doc.get(k)))
+    from datetime import datetime as _dt
+
+    def fmt(k, v):
+        if v is None:
+            return ""
+        if isinstance(v, _dt):  # the reference template's date formats
+            return v.strftime(
+                "%Y-%m-%d %H:%M" if k == "published_at"
+                else "%Y-%m-%d %H:%M:%S"
+            )
+        return str(v)
+
+    d = {k: fmt(k, doc.get(k))
          for k in ("id", "title", "content", "category", "publisher",
                    "author", "published_at", "crawled_at", "url", "oid",
                    "aid", "content_hash")}
@@ -154,6 +166,30 @@ def markdown_docs(df: DataFrame, content_col: str = "value",
 
     return df.select(path_col, content_col).mapInPandas(
         run, schema=DOC_SCHEMA
+    )
+
+
+def to_index_docs(parsed: DataFrame, lang: str | None = None) -> DataFrame:
+    """Parsed markdown rows → the docs-table shape accepted by
+    ``IndexBuilder.build_docs``: numeric (oid, aid) pairs get the dense
+    ``oid*10^10 + aid`` doc_id the extractor uses; non-numeric ids fall
+    back to a stable url hash."""
+    numeric = F.col("oid").rlike("^[0-9]+$") & F.col("aid").rlike("^[0-9]+$")
+    return (
+        parsed.withColumn(
+            "doc_id",
+            F.when(
+                numeric,
+                F.col("oid").cast("long") * F.lit(10_000_000_000).cast("long")
+                + F.col("aid").cast("long"),
+            ).otherwise(F.abs(F.xxhash64("url"))),
+        )
+        .withColumn("text", F.col("content"))
+        .withColumn("format", F.lit("markdown"))
+        .withColumn("lang", F.lit(lang).cast("string"))
+        .select("doc_id", "url", "oid", "aid", "title", "text", "category",
+                "published_at", "publisher", "author", "format",
+                "content_hash", "lang")
     )
 
 

@@ -294,3 +294,54 @@ def test_stream_build_with_bloom_prefilter(spark, tmp_path):
     docs = spark.read.parquet(f"{idx}/docs")
     assert docs.count() == docs.select("url").distinct().count()
     assert docs.count() > 120  # second drop's new urls landed
+
+
+def test_markdown_corpus_to_index_cli(spark, tmp_path, capsys):
+    """The reference `index` command's markdown path, end to end: render
+    a corpus to markdown files, `index --markdown` them (no HTML
+    re-extraction), and get rank+score identity against a brute-force
+    oracle built over the PARSED docs table."""
+    import json as _json
+
+    from baram_spark.__main__ import main
+    from baram_spark.corpus import make_query_set, pages_df
+    from baram_spark.index.build import extract_docs
+    from baram_spark.query.bm25 import BruteForceIndex
+    from baram_spark.query.engine import SearchEngine
+
+    docs = extract_docs(pages_df(spark, 120, partitions=2)).collect()
+    mddir = tmp_path / "corpus"
+    mddir.mkdir()
+    for r in docs:
+        d = r.asDict()
+        d["content"] = d.pop("text")
+        d["id"] = f"{d['oid']}_{d['aid']}"
+        d["crawled_at"] = "2024-12-01 00:00:00"
+        (mddir / f"{d['oid']}_{d['aid']}.md").write_text(
+            render_markdown(d), encoding="utf-8"
+        )
+
+    out = f"{tmp_path}/md_idx"
+    assert main(["index", "--markdown", str(mddir), "--out", out,
+                 "--shards", "2", "--fingerprint", "md1"],
+                spark=spark) == 0
+    metrics = _json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln][-1]
+    )
+    assert metrics["docs_out"] == len(docs)
+
+    table = spark.read.parquet(f"{out}/docs")
+    assert table.count() == len(docs)
+    assert table.filter(F.col("format") == "markdown").count() == len(docs)
+
+    engine = SearchEngine(spark, out)
+    oracle = BruteForceIndex.build([
+        (int(r["doc_id"]), r["title"], r["text"])
+        for r in table.select("doc_id", "title", "text").collect()
+    ])
+    for q in make_query_set()[:3]:
+        got = [(d, round(s, 9)) for d, s in
+               engine.search(q["query_text"], k=10, mode="local")]
+        exp = [(d, round(s, 9)) for d, s in
+               oracle.search(q["query_text"], k=10)]
+        assert got == exp, q["query_text"]

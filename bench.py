@@ -41,11 +41,13 @@ OPERATOR_QUERIES = [
     "trend_slope", "spike_zscore", "minmax_normalize", "top_trending",
     "dedup_exact", "minhash_signatures", "simhash", "knn_cosine",
     "token_counts", "quality_scores", "fingerprint", "language_id",
-    "chunking", "sessionize", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
+    "chunking", "sessionize", "tpch_q1", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q18",
     "anti_join_dedup", "json_extract",
 ]
 SMALL_RESULT = {"bm25_topk", "bm25_topk_filtered", "top_trending",
-                "knn_cosine", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
+                "knn_cosine", "tpch_q1", "tpch_q3", "tpch_q4",
+                "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q18",
                 "trend_slope", "corpus_stats"}
 
 

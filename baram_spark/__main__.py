@@ -156,6 +156,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         fp = args.fingerprint or f"cli-{int(time.time())}"
         if args.markdown:
+            if args.incremental or args.since:
+                parser.error(
+                    "--markdown is a fresh gen-0 build; --incremental/"
+                    "--since apply only to --pages input"
+                )
             from baram_spark.sources.markdown import (
                 read_markdown_dir,
                 to_index_docs,

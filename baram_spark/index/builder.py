@@ -966,9 +966,10 @@ class IndexBuilder:
         metrics: dict = {"fingerprint": fingerprint, "gen": 0,
                          "resumed_stages": []}
         gen = 0
-        if ("docs", 0) not in done or not self._exists(
+        wrote_docs = ("docs", 0) not in done or not self._exists(
             f"{self.docs_path}/gen={gen}"
-        ):
+        )
+        if wrote_docs:
             prepared = _normalize_docs(docs)
             obs = Observation("docs_direct")
             with StageTimer() as t:
@@ -980,13 +981,15 @@ class IndexBuilder:
             n_out = int(obs.get["rows"])
             self.ledger.record("docs", 0, fingerprint, 0, n_out, t.seconds)
             metrics["docs_out"] = n_out
-        else:
-            metrics["resumed_stages"].append("docs")
-        # the docs-on-disk branch finishes tokenize/embeddings/attrs
+        # the docs-on-disk branch finishes tokenize/embeddings/attrs; it
+        # marks "docs" resumed unconditionally, so correct the signal for
+        # the fresh-write case
         self._stage_extract_tokenize(
             None, gen, "docs", "doc_terms", fingerprint,
             done | {("docs", 0)}, metrics,
         )
+        if wrote_docs and "docs" in metrics["resumed_stages"]:
+            metrics["resumed_stages"].remove("docs")
         self._stage_postings(gen, "postings", fingerprint, done, metrics)
         gens = sorted(set(self.committed_generations()) | {gen})
         self._stage_term_stats("term_stats", fingerprint, done, metrics,

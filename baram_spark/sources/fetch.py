@@ -68,6 +68,21 @@ def fetch_url(url: str, timeout: float = 10.0, max_retries: int = 3,
             last_status, error = e.code, f"HTTP {e.code}"
             if e.code not in RETRYABLE:
                 return None, e.code, attempt + 1, error
+        except urllib.error.URLError as e:
+            # urllib reports malformed urls through URLError too (reason
+            # is a bare string like "unknown url type: htp"); those can
+            # never succeed — fail fast instead of burning backoff.
+            # DNS/connection failures stay retryable.
+            error = f"{type(e).__name__}: {e}"
+            reason = getattr(e, "reason", None)
+            if isinstance(reason, ValueError) or (
+                isinstance(reason, str)
+                and ("unknown url type" in reason or "no host" in reason)
+            ):
+                return None, 0, attempt + 1, error
+        except (ValueError, TypeError) as e:
+            # malformed url raised directly (bad Request construction)
+            return None, 0, attempt + 1, f"{type(e).__name__}: {e}"
         except Exception as e:  # timeouts, connection errors: retryable
             error = f"{type(e).__name__}: {e}"
     return None, last_status, max_retries + 1, error or "max retries"
@@ -111,7 +126,10 @@ def fetch_pages(urls: DataFrame, url_col: str = "url",
                 i += 1
                 rows.append((
                     url,
-                    datetime.now(timezone.utc).replace(tzinfo=None),
+                    # tz-AWARE so Arrow stores the true instant whatever
+                    # the Spark session timezone is (a naive value would
+                    # be reinterpreted in session-local time)
+                    datetime.now(timezone.utc),
                     bytearray(body) if body is not None else None,
                     status, attempts, err,
                 ))

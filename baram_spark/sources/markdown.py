@@ -31,10 +31,33 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 #: output columns of the Spark parse (superset of IndexDocument's
 #: metadata; content is the reference's joined body)
 DOC_SCHEMA = (
-    "path string, id string, oid string, aid string, title string, "
-    "content string, category string, publisher string, author string, "
-    "url string, published_at string, content_hash string"
+    "path string, doc_id long, id string, oid string, aid string, "
+    "title string, content string, category string, publisher string, "
+    "author string, url string, published_at string, content_hash string"
 )
+
+
+def _doc_id(oid: str, aid: str) -> int:
+    """EXACTLY the extractor's doc_id (textproc/extract.py:362-380) so
+    the markdown and HTML ingestion paths agree on ids: packed
+    oid*10^10+aid for ≤10-digit numeric pairs, else a 10^13-offset hash
+    of the canonical pair (a space the packed ids can never reach).
+    Non-numeric stems (no frontmatter ids, odd filenames) take the same
+    hash fallback — distinct per (oid, aid), never colliding with
+    packed ids."""
+    import hashlib
+
+    from ..textproc.extract import doc_id_from_ids
+
+    try:
+        return doc_id_from_ids(oid, aid)
+    except ValueError:
+        digest = hashlib.blake2b(
+            f"{oid}/{aid}".encode("utf-8"), digest_size=8
+        ).digest()
+        return 10_000_000_000_000 + (
+            int.from_bytes(digest, "big") & ((1 << 49) - 1)
+        )
 
 _META_KEYS = {"oid", "aid", "category", "publisher", "author", "url",
               "content_hash"}
@@ -90,6 +113,7 @@ def parse_markdown(text: str, filename: str | None = None) -> dict:
         else:
             oid, aid = "000", stem
     return {
+        "doc_id": _doc_id(oid, aid),
         "id": f"{oid}_{aid}",
         "oid": oid,
         "aid": aid,
@@ -171,22 +195,17 @@ def markdown_docs(df: DataFrame, content_col: str = "value",
 
 def to_index_docs(parsed: DataFrame, lang: str | None = None) -> DataFrame:
     """Parsed markdown rows → the docs-table shape accepted by
-    ``IndexBuilder.build_docs``: numeric (oid, aid) pairs get the dense
-    ``oid*10^10 + aid`` doc_id the extractor uses; non-numeric ids fall
-    back to a stable url hash."""
-    numeric = F.col("oid").rlike("^[0-9]+$") & F.col("aid").rlike("^[0-9]+$")
+    ``IndexBuilder.build_docs``. The doc_id was computed in the parse
+    with the extractor's own id scheme (see :func:`_doc_id`), so the
+    markdown and HTML paths agree; files without a frontmatter
+    content_hash get sha256(text) like every other ingestion path."""
     return (
-        parsed.withColumn(
-            "doc_id",
-            F.when(
-                numeric,
-                F.col("oid").cast("long") * F.lit(10_000_000_000).cast("long")
-                + F.col("aid").cast("long"),
-            ).otherwise(F.abs(F.xxhash64("url"))),
-        )
+        parsed
         .withColumn("text", F.col("content"))
         .withColumn("format", F.lit("markdown"))
         .withColumn("lang", F.lit(lang).cast("string"))
+        .withColumn("content_hash",
+                    F.coalesce("content_hash", F.sha2(F.col("text"), 256)))
         .select("doc_id", "url", "oid", "aid", "title", "text", "category",
                 "published_at", "publisher", "author", "format",
                 "content_hash", "lang")

@@ -139,3 +139,16 @@ def test_crawl_extract_index_search_loop(spark, http_server, tmp_path):
     got = [(d, round(s, 9)) for d, s in engine.search(q, k=10, mode="local")]
     exp = [(d, round(s, 9)) for d, s in oracle.search(q, k=10)]
     assert got and got == exp
+
+
+def test_fetch_url_malformed_fails_fast():
+    """Unsupported schemes / malformed urls can never succeed — one
+    attempt, no backoff burn."""
+    import time as _time
+
+    t0 = _time.time()
+    body, status, attempts, err = fetch_url("htp://typo.example",
+                                            base_delay_ms=1000)
+    assert body is None and attempts == 1
+    assert "unknown url type" in err or "ValueError" in err
+    assert _time.time() - t0 < 1.0  # no exponential backoff happened

@@ -345,3 +345,49 @@ def test_markdown_corpus_to_index_cli(spark, tmp_path, capsys):
         exp = [(d, round(s, 9)) for d, s in
                oracle.search(q["query_text"], k=10)]
         assert got == exp, q["query_text"]
+
+
+def test_markdown_doc_id_parity_and_collisions():
+    """Markdown ids must be EXACTLY the extractor's scheme: packed for
+    ≤10-digit numeric pairs, 10^13-offset hash above that, and distinct
+    hashed ids for url-less non-numeric stems (no '' collisions)."""
+    from baram_spark.textproc.extract import doc_id_from_ids
+
+    d = parse_markdown(MD, filename="001_0000000123.md")
+    assert d["doc_id"] == doc_id_from_ids("001", "0000000123")
+
+    # 11-digit aid: hash fallback above the packed range, no collision
+    # with a packed (oid=2, aid=5) pair
+    big = parse_markdown("---\noid: 1\naid: 10000000005\n---\nx")
+    packed = parse_markdown("---\noid: 2\naid: 0000000005\n---\nx")
+    assert big["doc_id"] >= 10_000_000_000_000
+    assert big["doc_id"] != packed["doc_id"]
+    assert packed["doc_id"] == doc_id_from_ids("2", "0000000005")
+
+    # two url-less files with non-numeric stems: DISTINCT ids
+    a = parse_markdown("alpha body", filename="alpha.md")
+    b = parse_markdown("beta body", filename="beta.md")
+    assert a["doc_id"] != b["doc_id"]
+    assert a["doc_id"] >= 10_000_000_000_000
+
+
+def test_markdown_content_hash_default(spark, tmp_path):
+    from baram_spark.sources.markdown import to_index_docs
+
+    mddir = tmp_path / "nohash"
+    mddir.mkdir()
+    (mddir / "001_0000000009.md").write_text("# 제목\n\n본문", "utf-8")
+    row = to_index_docs(read_markdown_dir(spark, str(mddir))).collect()[0]
+    import hashlib
+
+    assert row["content_hash"] == hashlib.sha256(
+        row["text"].encode("utf-8")
+    ).hexdigest()
+
+
+def test_cli_markdown_rejects_incremental(spark, tmp_path):
+    from baram_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["index", "--markdown", str(tmp_path), "--out",
+              f"{tmp_path}/x", "--incremental"], spark=spark)

@@ -106,7 +106,10 @@ def _normalize_docs(docs: DataFrame) -> DataFrame:
             "published_at",
             F.try_to_timestamp(F.regexp_replace("published_at", "Z$", "")),
         )
-    return out.select(*_DOC_COLS)
+    keep = list(_DOC_COLS)
+    if "chunk_text" in out.columns:  # the third scored field rides along
+        keep.append("chunk_text")
+    return out.select(*keep)
 
 
 def index_n_shards(index_dir: str, default: int = 8) -> int:
@@ -143,13 +146,19 @@ def read_gen_table(spark: SparkSession, index_dir: str, table: str,
     base = f"{index_dir.rstrip('/')}/{table}"
     if gens is None:
         gens = committed_gens(index_dir)
-    if gens:
+    if gens is not None:
+        # a committed snapshot EXISTS: read exactly its generations. An
+        # empty list (e.g. every doc tombstoned then compacted away) is
+        # an EMPTY relation — never a fallback to the whole directory,
+        # which may hold retained superseded generations.
         dirs = [
             f"{base}/gen={g}" for g in gens
             if os.path.exists(f"{base}/gen={g}".removeprefix("file:"))
         ]
         if dirs:
             return spark.read.option("basePath", base).parquet(*dirs)
+        if os.path.exists(base.removeprefix("file:")):
+            return spark.read.parquet(base).filter(F.lit(False))
     return spark.read.parquet(base)
 
 
@@ -414,7 +423,7 @@ class IndexBuilder:
         metrics["docs_out"] = n_out
 
     def _stage_tokenize_from(self, docs, gen, stage, fingerprint, metrics,
-                             drop_gens=()):
+                             drop_gens=(), extra_committed=()):
         # per-field corpus stats ride along as write observations on the
         # `first` flag — no separate pass over the much larger doc_terms.
         obs = Observation(f"doc_terms_{gen}")
@@ -444,7 +453,8 @@ class IndexBuilder:
                 (gen, f, int(got[f"n_{f}"] or 0), int(got[f"dl_{f}"] or 0))
                 for f in INDEX_FIELDS
             ]
-            self._update_stats(gen, gen_rows, drop_gens=drop_gens)
+            self._update_stats(gen, gen_rows, drop_gens=drop_gens,
+                               extra_committed=extra_committed)
         self.ledger.record(stage, 0, fingerprint, 0, n_out, t.seconds)
         metrics["tokenize_seconds"] = t.seconds
 
@@ -493,7 +503,7 @@ class IndexBuilder:
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
 
     def _update_stats(self, gen: int, gen_rows: list[tuple],
-                      drop_gens=()) -> None:
+                      drop_gens=(), extra_committed=()) -> None:
         """Fold this generation into global corpus_stats + gen_meta.
 
         ``drop_gens``: generations being RETIRED by this operation
@@ -503,9 +513,14 @@ class IndexBuilder:
         Only COMMITTED generations fold into the carried-forward totals:
         a concurrent writer's in-flight staging (or a discarded wave's
         leftover rows) must not inflate the global n_docs/avgdl this
-        generation's postings are packed and scored with."""
+        generation's postings are packed and scored with.
+        ``extra_committed``: generations THIS operation already staged
+        toward its own commit (a multi-generation compact rewriting gen
+        after gen) — they count as committed for the fold, or the later
+        iterations would drop the earlier replacements' stats."""
         drop = {int(g) for g in drop_gens}
         committed = {int(g) for g in self.committed_generations()}
+        committed |= {int(g) for g in extra_committed}
         prior: dict[tuple[int, str], tuple[int, int, float]] = {}
         gm_read = self._latest_stats_dir(self.gen_meta_path)
         if self._exists(gm_read):
@@ -599,6 +614,18 @@ class IndexBuilder:
         return plan_salts(sample_counts, self.salt_threshold)
 
     def _stage_postings(self, gen, stage_prefix, fingerprint, done, metrics):
+        todo = [
+            k for k in range(self.n_shards)
+            if (stage_prefix, k) not in done
+        ]
+        metrics["resumed_shards"] = sorted(
+            k for k in range(self.n_shards) if (stage_prefix, k) in done
+        )
+        if not todo:
+            # fully resumed: skip the avgdl collect and (above all) the
+            # doc_terms 5% sampling job the salt plan would otherwise run
+            metrics["postings_built"] = 0
+            return
         avgdl_by_field = {
             r["field"]: float(r["avgdl"])
             for r in self.spark.read.parquet(
@@ -611,13 +638,6 @@ class IndexBuilder:
                 salt_plan = self._salt_plan(gen)
         else:
             salt_plan = {}
-        todo = [
-            k for k in range(self.n_shards)
-            if (stage_prefix, k) not in done
-        ]
-        metrics["resumed_shards"] = sorted(
-            k for k in range(self.n_shards) if (stage_prefix, k) in done
-        )
         groups = [
             todo[i : i + self.shards_per_job]
             for i in range(0, len(todo), self.shards_per_job)
@@ -1249,7 +1269,8 @@ class IndexBuilder:
             if kept.isEmpty():
                 # every doc in the generation was tombstoned: the gen
                 # simply leaves the snapshot (no replacement gen)
-                self._update_stats(gen, [], drop_gens={gen})
+                self._update_stats(gen, [], drop_gens={gen},
+                                   extra_committed=result["new_gens"])
                 result["dropped_gens"].append(gen)
                 continue
             g2 = next_gen
@@ -1260,6 +1281,9 @@ class IndexBuilder:
             kept_disk = self.spark.read.parquet(f"{self.docs_path}/gen={g2}")
             self._stage_tokenize_from(
                 kept_disk, g2, f"doc_terms.g{g2}", fp, {}, drop_gens={gen},
+                # replacement gens staged EARLIER in this same compaction
+                # must keep their stats rows through this fold
+                extra_committed=result["new_gens"],
             )
             self._stage_postings(g2, f"postings.g{g2}", fp, set(), {})
             self._stage_doc_attrs(kept_disk, g2)

@@ -63,12 +63,7 @@ class SearchEngine:
             ).collect()
         }
         post_dir = f"{self.index_dir}/postings"
-        if self._committed:
-            self._postings = spark.read.option("basePath", post_dir).parquet(
-                *[f"{post_dir}/gen={g}" for g in self._committed]
-            )
-        else:
-            self._postings = spark.read.parquet(post_dir)
+        self._postings = self._gen_read(post_dir)
         self._term_stats = spark.read.parquet(self._stats_path("term_stats"))
         self._has_gens = "gen" in self._postings.columns
         # block-max bound correction per (gen, field): avgdl_now/avgdl_pack
@@ -133,7 +128,11 @@ class SearchEngine:
         """Generations listed by the builder's snapshot manifest, or None
         when the index predates manifests (fall back to directory listing)."""
         gens = (self._manifest or {}).get("generations")
-        return sorted(int(g) for g in gens) if gens else None
+        # an EMPTY committed list (everything tombstoned then compacted)
+        # is a real snapshot state, distinct from "no manifest": it must
+        # read as an empty index, never fall back to the whole dir where
+        # retained superseded generations would resurrect deleted docs
+        return sorted(int(g) for g in gens) if gens is not None else None
 
     def _stats_path(self, name: str) -> str:
         """Resolve a small stats table to its committed version (manifest),
@@ -158,13 +157,19 @@ class SearchEngine:
                 return f"{base}/v_{max(vs)}"
         return base
 
-    def _docs(self) -> DataFrame:
-        d = f"{self.index_dir}/docs"
+    def _gen_read(self, d: str) -> DataFrame:
+        """Read a gen-partitioned table at the committed snapshot; an
+        empty committed list is an EMPTY relation, not a whole-dir read."""
+        if self._committed is None:
+            return self.spark.read.parquet(d)
         if self._committed:
             return self.spark.read.option("basePath", d).parquet(
                 *[f"{d}/gen={g}" for g in self._committed]
             )
-        return self.spark.read.parquet(d)
+        return self.spark.read.parquet(d).filter(F.lit(False))
+
+    def _docs(self) -> DataFrame:
+        return self._gen_read(f"{self.index_dir}/docs")
 
     def _detect_n_shards(self) -> int:
         """n_shards from index_meta (written by the builder), falling back
@@ -220,6 +225,8 @@ class SearchEngine:
                 # from the uncovered generations — fall back to docs
                 return None
             return self.spark.read.option("basePath", d).parquet(*dirs)
+        if self._committed is not None:  # empty snapshot: empty attrs
+            return self.spark.read.parquet(d).filter(F.lit(False))
         return self.spark.read.parquet(d)
 
     def _allowed_docs(self, category, date_from, date_to, publisher=None):
@@ -305,7 +312,7 @@ class SearchEngine:
         filt = ds.field("term").isin(terms) & ds.field("field").isin(
             list(FIELDS)
         )
-        if self._committed and "gen" in names:
+        if self._committed is not None and "gen" in names:
             filt = filt & ds.field("gen").isin(self._committed)
         cols = ["field", "term", "df", "postings", "skips", "blockmax"]
         cols += [c for c in ("gen", "shard") if c in names]
@@ -357,7 +364,8 @@ class SearchEngine:
         ``allowed_ids`` lets a serving tier that already holds the doc
         metadata pass a precomputed sorted candidate array directly — zero
         Spark jobs for filtered local-mode queries."""
-        k = min(k, MAX_K)
+        k = max(1, min(k, MAX_K))  # negative k would slice "all but
+        # the last" in the top-k merges and defeat the cap
         terms = sorted(set(analyze_search(query_text)))
         if not terms:
             return []
@@ -366,8 +374,11 @@ class SearchEngine:
         allowed_flat: np.ndarray | None = None
         allowed_df = None
         if allowed_ids is not None:
-            allowed_flat = np.unique(np.asarray(list(allowed_ids),
-                                                dtype=np.int64))
+            # ndarray input (the serving tier's precomputed sorted array)
+            # passes straight into np.unique — no python-list round-trip
+            arr = (allowed_ids if isinstance(allowed_ids, np.ndarray)
+                   else np.asarray(list(allowed_ids), dtype=np.int64))
+            allowed_flat = np.unique(arr.astype(np.int64, copy=False))
             if mode != "local":
                 from ..index.build import shard_expr
 

@@ -74,7 +74,8 @@ class _Snapshot:
         )
         gen_filter = (
             ds.field("gen").isin(committed)
-            if committed and "gen" in docs_ds.schema.names else None
+            if committed is not None and "gen" in docs_ds.schema.names
+            else None
         )
         docs = docs_ds.to_table(columns=cols, filter=gen_filter).to_pydict()
         self.meta: dict[int, dict] = {}
@@ -131,7 +132,8 @@ class _Snapshot:
             # vectors never re-enter knn/hybrid ranking
             emb_filter = (
                 ds.field("gen").isin(committed)
-                if committed and "gen" in emb_ds.schema.names else None
+                if committed is not None and "gen" in emb_ds.schema.names
+                else None
             )
             tbl = emb_ds.to_table(columns=["doc_id", "embedding"],
                                   filter=emb_filter)
@@ -259,20 +261,22 @@ class ServingContext:
                threshold: float | None = None,
                bm25_weight: float | None = None,
                publisher: str | None = None) -> dict:
-        k = min(k, MAX_K)
+        k = max(1, min(k, MAX_K))  # lower bound too: a negative k would
+        # slice as "all but the last" and defeat the response cap
         snap = self._snap  # one snapshot per request (refresh-safe)
         allowed = self._allowed(snap, category, date_from, date_to,
                                 publisher)
-        allowed_ids = allowed.tolist() if allowed is not None else None
 
-        def bm25():
+        def bm25(min_score=None):
+            # allowed passes through as the sorted ndarray — the engine
+            # consumes it directly, no per-request list round-trip
             return snap.engine.search(
-                q, k=k, min_score=threshold, mode="local",
-                allowed_ids=allowed_ids,
+                q, k=k, min_score=min_score, mode="local",
+                allowed_ids=allowed,
             )
 
         if mode in ("keyword", "bm25"):
-            hits = bm25()
+            hits = bm25(min_score=threshold)
         elif mode in ("vector", "knn"):
             hits = self._knn(snap, q, k, allowed)
             if threshold is not None:
@@ -282,6 +286,10 @@ class ServingContext:
             bw = 0.3 if bm25_weight is None else max(0.0, min(bm25_weight, 1.0))
             hits = hybrid_search(bm25(), self._knn(snap, q, k, allowed), k=k,
                                  bm25_weight=bw, knn_weight=1.0 - bw)
+            if threshold is not None:
+                # the reference applies min_score to the FINAL hybrid
+                # scores (mod.rs:623-624), not to one fusion input
+                hits = [(d, s) for d, s in hits if s >= threshold]
         else:
             raise ValueError(f"unknown mode {mode!r}")
 

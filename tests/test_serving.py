@@ -328,3 +328,26 @@ def test_publisher_filter(spark, server):
     code, none = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
                       f"&mode=bm25&k=5&publisher=nope")
     assert code == 200 and none["total"] == 0
+
+
+def test_negative_k_and_hybrid_threshold(spark, server):
+    base, out = server
+    q = make_query_set()[0]["query_text"]
+    # negative k must not defeat the response cap
+    code, body = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                      f"&mode=bm25&k=-1")
+    assert code == 200 and body["total"] <= 1
+
+    # hybrid threshold applies to the FUSED score (mod.rs:623-624)
+    code, hyb = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                     f"&mode=hybrid&k=10")
+    scores = [r["score"] for r in hyb["results"]]
+    assert scores
+    cut = scores[len(scores) // 2]
+    code, filt = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                      f"&mode=hybrid&k=10&threshold={cut}")
+    assert code == 200
+    assert all(r["score"] >= cut for r in filt["results"])
+    assert [r["id"] for r in filt["results"]] == [
+        r["id"] for r in hyb["results"] if r["score"] >= cut
+    ]

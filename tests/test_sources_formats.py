@@ -391,3 +391,25 @@ def test_cli_markdown_rejects_incremental(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["index", "--markdown", str(tmp_path), "--out",
               f"{tmp_path}/x", "--incremental"], spark=spark)
+
+
+def test_build_docs_preserves_chunk_text(spark, tmp_path):
+    """build_docs must carry a chunk_text column through to the docs
+    table so the third scored field gets indexed (bm25.py documents it)."""
+    from baram_spark.corpus import pages_df
+    from baram_spark.index.build import extract_docs
+    from baram_spark.index.builder import IndexBuilder
+
+    docs = extract_docs(pages_df(spark, 80, partitions=2)).withColumn(
+        "chunk_text", F.substring("text", 1, 40)
+    )
+    out = f"{tmp_path}/chunk_docs_idx"
+    IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9).build_docs(
+        docs, fingerprint="ck"
+    )
+    table = spark.read.parquet(f"{out}/docs")
+    assert "chunk_text" in table.columns
+    n_chunks = spark.read.parquet(f"{out}/postings").filter(
+        F.col("field") == "chunk_text"
+    ).count()
+    assert n_chunks > 0  # the third field really got postings

@@ -121,21 +121,18 @@ def cluster_embeddings(
     """
     max_bucket = max_bucket_size or 8 * target_bucket_size
     if n_planes is None:
-        import math
+        from .similarity import _derive_n_planes
 
-        n = embeddings.count()
-        n_planes = min(
-            max(int(math.ceil(math.log2(max(n, 1) / target_bucket_size)))
-                if n > target_bucket_size else 1, 1),
-            23,  # keeps split keys (2^n + bucket·2^7 + sub) inside int32
-        )
+        # cap 23 keeps split keys (2^n + bucket·2^7 + sub) inside int32
+        n_planes = _derive_n_planes(embeddings.count(),
+                                    target_bucket_size, cap=23)
     bucketed = random_hyperplane_buckets(
         embeddings, dim, n_planes, vec_col
     ).select(
         "bucket",
         F.col(id_col).alias("doc_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
+    ).persist()  # consumed twice: the skew count below + the cluster job
 
     # split pathologically skewed buckets with a SECOND, independent LSH
     # (seed-shifted planes): tiny agg over bucket ids, then a sub-bucket
@@ -225,10 +222,10 @@ def event_clusters(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     return (
         agg.join(cat, "cluster_id")
         .select(
-            F.concat(
-                F.lit("evt_"),
-                F.lpad(F.col("cluster_id").cast("string"), 6, "0"),
-            ).alias("event_id"),
+            # format_string pads to ≥6 digits WITHOUT truncating longer
+            # ids — lpad would cut a 10+ digit (bucket<<32|local) id to
+            # its first 6 chars, colliding every cluster in a bucket
+            F.format_string("evt_%06d", "cluster_id").alias("event_id"),
             "title",
             "category",
             "article_count",

@@ -90,6 +90,13 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
                         bands: int = 4) -> DataFrame:
     """Band the signature (rows_per_band = n_hashes/bands); docs sharing any
     band bucket become candidate pairs (e1 < e2, distinct)."""
+    if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
+        # bands > n_hashes would band on the EMPTY signature (every doc
+        # pairs with every doc — a silent O(n²) cross join); a
+        # non-dividing bands silently drops trailing hashes
+        raise ValueError(
+            f"bands={bands} must evenly divide n_hashes={n_hashes}"
+        )
     rows_per_band = n_hashes // bands
     banded = []
     for b in range(bands):
@@ -124,7 +131,17 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     (optionally restricted to LSH candidates). jaccard = |A∩B|/|A∪B|."""
     sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+    left = right = shingle_df
+    if candidates is not None:
+        # prune BEFORE the shingle self-join — Catalyst cannot push a
+        # pair-level semi join through a two-sided join, so filtering
+        # afterwards would leave the quadratic pair generation intact
+        ids1 = candidates.select(F.col("id1").alias("doc_id")).distinct()
+        ids2 = candidates.select(F.col("id2").alias("doc_id")).distinct()
+        # plain semi joins: AQE broadcasts them when small enough
+        left = shingle_df.join(ids1, "doc_id", "left_semi")
+        right = shingle_df.join(ids2, "doc_id", "left_semi")
+    a, b = left.alias("a"), right.alias("b")
     common = (
         a.join(
             b,
@@ -137,6 +154,8 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
         .agg(F.count("*").alias("n_common"))
     )
     if candidates is not None:
+        # the exact pair restriction still applies (doc-level pruning
+        # above only bounds the join inputs)
         common = common.join(candidates, ["id1", "id2"], "left_semi")
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))

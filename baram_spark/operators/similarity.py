@@ -75,6 +75,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int | None = None) -> np.ndarray
     return rng.standard_normal((n_planes, dim))
 
 
+def _check_dim(embeddings: DataFrame, vec_col: str, dim: int) -> None:
+    """One limit(1) probe guarding the silent-collapse failure mode: a
+    wrong ``dim`` makes zip_with null-pad, every dot product null, every
+    bucket 0 — and the bucketed algorithms quietly degrade to one
+    quadratic bucket. Fail loudly instead."""
+    row = embeddings.select(F.size(vec_col).alias("n")).first()
+    if row is not None and row["n"] is not None and row["n"] != dim:
+        raise ValueError(
+            f"{vec_col} vectors have {row['n']} elements but dim={dim}"
+        )
+
+
+def _derive_n_planes(n: int, target_bucket_size: int, cap: int) -> int:
+    """Bucket count growing with the corpus: E[bucket] ≈ target (shared
+    by the near-dup and clustering operators so the derivations can't
+    drift apart)."""
+    import math
+
+    return min(
+        max(
+            int(math.ceil(math.log2(max(n, 1) / target_bucket_size)))
+            if n > target_bucket_size else 1,
+            1,
+        ),
+        cap,
+    )
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -84,6 +112,7 @@ def random_hyperplane_buckets(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Add a sign-LSH ``bucket`` column: bit j = sign(v · plane_j)."""
+    _check_dim(embeddings, vec_col, dim)
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = None
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -103,15 +132,22 @@ def ann_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    seed: int | None = None,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket(s).
+
+    ``seed``/``bucket_col`` MUST match what
+    :func:`random_hyperplane_buckets` was called with — the query bucket
+    is computed from the same hyperplanes, so a mismatched seed would
+    probe unrelated buckets and silently collapse recall.
 
     ``n_probes > 1`` enables MULTIPROBE: besides the query's own bucket,
     probe the buckets reached by flipping the lowest-|margin| hyperplane
     bits first (the classic multiprobe-LSH order — a near-boundary sign is
     the most likely to differ for a true neighbor). Recall rises with
     bounded extra work: candidates ≈ n_probes · n/2^n_planes."""
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     margins = planes @ qv
     qbucket = int(sum((2 ** j) for j in range(n_planes) if margins[j] > 0))
@@ -127,7 +163,7 @@ def ann_knn(
         subsets.sort(key=lambda x: x[0])
         for _, bits in subsets[: n_probes - 1]:
             probes.append(qbucket ^ sum(2 ** b for b in bits))
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    cand = bucketed.filter(F.col(bucket_col).isin(probes))
     return brute_force_knn(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -257,14 +293,8 @@ def pairwise_cosine_dedup(
     ``target_bucket_size`` (a fixed 2^6 would be n²/64 pair-work at
     10^12 docs — see the clustering module for the same treatment)."""
     if n_planes is None:
-        import math
-
-        n = embeddings.count()
-        n_planes = min(
-            max(int(math.ceil(math.log2(max(n, 1) / target_bucket_size)))
-                if n > target_bucket_size else 1, 1),
-            30,
-        )
+        n_planes = _derive_n_planes(embeddings.count(),
+                                    target_bucket_size, cap=30)
     b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col)
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("id1"),

@@ -34,6 +34,7 @@ def windowed_counts(
     watermark: str = "2 hours",
     key_col: str = "event_type",
     ts_col: str = "ts",
+    value_col: str = "value",
 ) -> DataFrame:
     """Event-time windowed counts + value sums with late-data watermark."""
     # watermarks require TIMESTAMP (with tz); parquet NTZ columns are cast
@@ -48,7 +49,7 @@ def windowed_counts(
         .groupBy(win.alias("win"), F.col(key_col).alias("key"))
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.round(F.sum(value_col), 6).alias("value_sum"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -64,6 +65,7 @@ def sessionize_event_time(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Event-time sessionization: a user's events belong to one session
     while consecutive EVENT timestamps are within ``gap_minutes``; the
@@ -86,7 +88,7 @@ def sessionize_event_time(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.round(F.sum(value_col), 6).alias("value_sum"),
         )
         .select(
             "user_id",
@@ -123,6 +125,7 @@ def sessionize(
     gap_minutes: int = 30,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Close a user session after ``gap_minutes`` of processing-time
     inactivity; emit (user, start, end, n_events, value_sum) per session."""
@@ -156,7 +159,7 @@ def sessionize(
                 start_ms = min(start_ms, min(ts_ms))
                 last_ms = max(last_ms, max(ts_ms))
             n += len(pdf)
-            vsum += float(pdf["value"].sum())
+            vsum += float(pdf[value_col].sum())
         state.update((start_ms, last_ms, n, vsum))
         state.setTimeoutDuration(gap_ms)
         yield pd.DataFrame(

@@ -127,3 +127,28 @@ def test_summaries_ordered_and_deterministic(spark, clustered_emb):
         ).collect()
     )
     assert again == sorted((r["cluster_id"], r["doc_id"]) for r in clusters.collect())
+
+
+def test_event_id_no_truncation_for_large_cluster_ids(spark):
+    """event_id must NOT truncate large cluster_ids (bucket<<32|local):
+    lpad-to-6 cut 10+ digit ids to their first 6 chars, colliding every
+    cluster in a nonzero LSH bucket."""
+    from datetime import datetime
+
+    from baram_spark.operators.clustering import event_clusters
+
+    big = 1 << 32
+    clusters = spark.createDataFrame(
+        [(big, 1), (big + 1, 2), (7, 3)], "cluster_id long, doc_id long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "it", datetime(2024, 1, i), "001", f"{i:010d}",
+          f"https://x/{i}") for i in (1, 2, 3)],
+        "doc_id long, title string, category string, "
+        "published_at timestamp, oid string, aid string, url string",
+    )
+    rows = event_clusters(clusters, docs).collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(set(ids)) == 3, ids
+    assert f"evt_{big}" in ids and f"evt_{big + 1}" in ids
+    assert "evt_000007" in ids  # short ids keep the padded form

@@ -73,3 +73,32 @@ def test_extract_ids_accepts_legacy_format():
         "https://news.naver.com/main/read.naver?oid=001&aid=0001234567"
     ) == ("001", "0001234567")
     assert extract_ids("https://example.com/nothing") is None
+
+
+def test_lsh_bands_validation(spark):
+    import pytest
+
+    from baram_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = spark.createDataFrame([(1, 1, 2)], "doc_id long, mh0 int, mh1 int")
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sig, n_hashes=2, bands=4)  # empty signatures
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sig, n_hashes=8, bands=3)  # dropped hashes
+
+
+def test_jaccard_candidates_prune_before_self_join(spark):
+    """The candidate restriction must reach BELOW the quadratic shingle
+    self-join (semi joins on both inputs), not just filter its output."""
+    from baram_spark.operators.dedup import ngram_jaccard_pairs
+
+    sh = spark.createDataFrame(
+        [(d, f"s{s % 4}") for d in range(1, 7) for s in range(d, d + 3)],
+        "doc_id long, shingle string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    out = ngram_jaccard_pairs(sh, threshold=0.0, candidates=cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 3, plan
+    rows = out.collect()
+    assert all((r["id1"], r["id2"]) == (1, 2) for r in rows)

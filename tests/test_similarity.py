@@ -157,3 +157,39 @@ def test_ivf_multi_assign_recall_on_random_vectors(spark):
         recalls.append(len(set(got) & exact))
     assert min(recalls) >= 8, recalls
     assigned.unpersist()
+
+
+def test_dim_mismatch_raises(spark):
+    """A wrong dim must raise, not silently null-pad every dot product
+    into bucket 0 (which degrades bucketed dedup to one quadratic
+    bucket)."""
+    from baram_spark.operators.similarity import random_hyperplane_buckets
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="16 elements but dim=64"):
+        random_hyperplane_buckets(emb, dim=64)
+
+
+def test_ann_knn_custom_seed_and_bucket_col(spark):
+    """ann_knn must probe with the SAME hyperplanes the bucketing used —
+    seed/bucket_col pass through."""
+    import numpy as np
+
+    from baram_spark.operators.similarity import (
+        ann_knn,
+        random_hyperplane_buckets,
+    )
+
+    rng = np.random.default_rng(3)
+    target = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in target])]
+    rows += [(i, [float(x) for x in rng.standard_normal(16)])
+             for i in range(1, 60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = random_hyperplane_buckets(emb, 16, n_planes=4, seed=777,
+                                  out_col="bkt")
+    got = ann_knn(b, [float(x) for x in target], 16, k=1, n_planes=4,
+                  seed=777, bucket_col="bkt").collect()
+    assert got and got[0]["vec_id"] == 0  # the query vector itself

@@ -714,12 +714,13 @@ def oracle_sql() -> dict[str, str]:
                      avg(cnt) OVER (PARTITION BY key ORDER BY day
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
                      avg(cnt) OVER (PARTITION BY key) AS mu,
-                     stddev_pop(cnt) OVER (PARTITION BY key) AS sigma
+                     stddev_pop(cnt) OVER (PARTITION BY key) AS sigma,
+                     count(*) OVER (PARTITION BY key) AS n_key
               FROM series)
             SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
                    ROUND(cnt / ma, 6) AS magnitude,
                    ROUND(CASE WHEN sigma > 0 THEN (cnt - mu) / sigma ELSE 0 END, 6) AS zscore
-            FROM x WHERE ma > 0 AND cnt / ma >= 1.1""",
+            FROM x WHERE ma > 0 AND cnt / ma >= 1.1 AND n_key >= 7""",
         "trend_slope": f"""WITH {_SERIES}, x AS (
               SELECT key, cnt,
                      CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS DOUBLE) AS x
@@ -727,11 +728,14 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT key, regr_slope(CAST(cnt AS DOUBLE), x) AS slope,
                            avg(cnt) AS mean_cnt FROM x GROUP BY key),
             v AS (SELECT key, slope,
-                     least(greatest(CASE WHEN mean_cnt > 0 THEN slope / mean_cnt
-                                         ELSE 0 END, -1.0), 1.0) AS vel
+                     CASE WHEN slope IS NOT NULL THEN
+                       least(greatest(CASE WHEN mean_cnt > 0 THEN slope / mean_cnt
+                                           ELSE 0 END, -1.0), 1.0)
+                     END AS vel
                   FROM agg)
             SELECT key, ROUND(slope, 6) AS slope, ROUND(vel, 6) AS velocity,
-                   CASE WHEN vel > 0.5 THEN 'rising_fast'
+                   CASE WHEN slope IS NULL THEN 'insufficient_data'
+                        WHEN vel > 0.5 THEN 'rising_fast'
                         WHEN vel > 0.1 THEN 'rising'
                         WHEN vel < -0.5 THEN 'falling_fast'
                         WHEN vel < -0.1 THEN 'falling'
@@ -741,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
                    ROUND(CASE WHEN lag(cnt) OVER w > 0
                          THEN (cnt - lag(cnt) OVER w) * 100.0 / lag(cnt) OVER w
+                         WHEN lag(cnt) OVER w = 0 THEN 100.0
                          END, 6) AS pct_change
             FROM series WINDOW w AS (PARTITION BY key ORDER BY day)""",
         "minmax_normalize": f"""WITH {_SERIES}
@@ -771,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
                 ON a.doc_id = b.doc_id AND a.entity < b.entity
               GROUP BY 1, 2 HAVING count(*) >= 2)
             SELECT e1, e2, n_ab,
-                   ROUND(ln((CAST(n_ab AS DOUBLE) / n.n_docs) /
+                   ROUND(log2((CAST(n_ab AS DOUBLE) / n.n_docs) /
                         ((CAST(ca.n AS DOUBLE) / n.n_docs) *
                          (CAST(cb.n AS DOUBLE) / n.n_docs))), 6) AS pmi
             FROM pairs
@@ -910,20 +915,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_index, total_chunks, chunk_text, token_count
             FROM single""",
         "token_counts": """SELECT doc_id,
-                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
                    len(list_filter(string_split_regex(text, '[^a-zA-Z0-9가-힣]+'),
                        x -> x <> '')) AS n_words,
                    length(text) AS n_chars
             FROM documents""",
-        "quality_scores": """SELECT doc_id, length(text) AS n_chars,
-                   len(string_split(trim(text), ' ')) AS n_tokens,
+        "quality_scores": """WITH t AS (
+              SELECT doc_id, text, trim(text) AS tt,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END AS nt
+              FROM documents)
+            SELECT doc_id, length(text) AS n_chars, nt AS n_tokens,
                    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
                          / greatest(length(text), 1), 6) AS punct_ratio,
-                   ROUND(CAST(length(text) - len(string_split(trim(text), ' ')) + 1 AS DOUBLE)
-                         / greatest(len(string_split(trim(text), ' ')), 1), 6) AS avg_word_len,
-                   ROUND(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
-                         / greatest(len(string_split(trim(text), ' ')), 1), 6) AS uniq_ratio
-            FROM documents""",
+                   ROUND(CASE WHEN nt = 0 THEN 0.0
+                         ELSE CAST(length(tt) - nt + 1 AS DOUBLE)
+                              / greatest(nt, 1) END, 6) AS avg_word_len,
+                   ROUND(CAST(CASE WHEN nt = 0 THEN 0
+                         ELSE len(list_distinct(string_split(tt, ' '))) END AS DOUBLE)
+                         / greatest(nt, 1), 6) AS uniq_ratio
+            FROM t""",
         "fingerprint": """SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents""",

@@ -71,7 +71,10 @@ def extract_docs(pages: DataFrame) -> DataFrame:
     def run(iterator):
         for pdf in iterator:
             out = extract_batch(pdf["html"], pdf["url"])
-            out["warc_ts"] = pdf["warc_ts"].values
+            # both optional columns degrade to null, not an
+            # executor-side KeyError after the job is already scheduled
+            out["warc_ts"] = (pdf["warc_ts"].values
+                              if "warc_ts" in pdf else None)
             out["lang"] = pdf["lang"].values if "lang" in pdf else None
             yield out
 

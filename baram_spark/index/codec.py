@@ -376,11 +376,24 @@ def decode_many(blobs, skips_blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
     tfs = vals[base + creps + within].astype(np.int64)
     dls = vals[base + 2 * creps + within].astype(np.int64)
 
-    # segmented cumsum: delta chains reset at each BLOB boundary
-    g = np.cumsum(deltas.astype(np.int64))
+    # segmented cumsum: delta chains reset at each BLOB boundary. The
+    # running sum grows by ~last_doc_id per blob; with hash-range ids
+    # (~2^50) a single global cumsum over a very large merge batch could
+    # silently wrap int64, so the blob axis is chunked — each chunk's
+    # partial sum stays orders of magnitude below 2^63 while the math
+    # inside a chunk remains fully vectorized.
     first = np.cumsum(dfs) - dfs  # first posting index of each blob
-    offset = np.repeat(g[first] - deltas[first].astype(np.int64), dfs)
-    doc_ids = g - offset - 1
+    doc_ids = np.empty(total, dtype=np.int64)
+    CHUNK = 4096  # 4096 × max_doc_id(≈2^50) ≈ 2^62 — safe margin
+    for c0 in range(0, n_blobs, CHUNK):
+        c1 = min(c0 + CHUNK, n_blobs)
+        lo = int(first[c0])
+        hi = int(first[c1 - 1] + dfs[c1 - 1])
+        seg = deltas[lo:hi].astype(np.int64)
+        g = np.cumsum(seg)
+        f_local = (first[c0:c1] - lo).astype(np.int64)
+        offset = np.repeat(g[f_local] - seg[f_local], dfs[c0:c1])
+        doc_ids[lo:hi] = g - offset - 1
     return doc_ids, tfs, dls, dfs
 
 

@@ -20,15 +20,20 @@ _LANG_MARKERS = {
 
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Whitespace + BPE-ish subword token counts per doc.
+    """Whitespace + word-run token counts per doc.
 
-    ``n_tokens``: whitespace tokens; ``n_subwords``: length of a crude
-    BPE-style segmentation (runs of letters / digits / single punctuation),
-    a deterministic proxy for tokenizer cost estimation.
+    ``n_tokens``: whitespace tokens; ``n_words``: runs of word
+    characters (letters/digits/hangul), a deterministic proxy for
+    tokenizer cost estimation; ``n_chars``: raw length.
     """
+    trimmed = F.trim(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+        # split('') returns [''] (size 1) — empty/whitespace-only text
+        # must count ZERO tokens, or quality filters pass empty docs
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .alias("n_tokens"),
         F.size(
             F.expr(
                 f"filter(split({text_col}, '[^a-zA-Z0-9가-힣]+'), x -> x != '')"
@@ -42,8 +47,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, mean word
     length, distinct-token ratio — the usual pre-training filters."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_toks = F.size(toks)
+    trimmed = F.trim(F.col(text_col))
+    toks = F.split(trimmed, r"\s+")
+    # empty/whitespace-only text is ZERO tokens (split('') → [''])
+    n_toks = F.when(trimmed == "", F.lit(0)).otherwise(F.size(toks))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars"),
@@ -53,11 +60,20 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
             F.greatest(F.length(text_col), F.lit(1)),
             6,
         ).alias("punct_ratio"),
+        # word length from the TRIMMED text, else padding whitespace
+        # counts as word characters; zero tokens → 0.0, not 1.0
         F.round(
-            (F.length(text_col) - n_toks + 1) / F.greatest(n_toks, F.lit(1)), 6
+            F.when(n_toks == 0, F.lit(0.0)).otherwise(
+                (F.length(trimmed) - n_toks + 1)
+                / F.greatest(n_toks, F.lit(1))
+            ),
+            6,
         ).alias("avg_word_len"),
         F.round(
-            F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1)), 6
+            F.when(trimmed == "", F.lit(0))
+            .otherwise(F.size(F.array_distinct(toks)))
+            / F.greatest(n_toks, F.lit(1)),
+            6,
         ).alias("uniq_ratio"),
     )
 

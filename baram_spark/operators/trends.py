@@ -67,8 +67,14 @@ def detect_spikes(series: DataFrame, window_size: int = 7,
             ),
         )
     )
-    return out.filter(F.col("magnitude") >= threshold).select(
-        "key", "day", "cnt", "magnitude", "zscore"
+    # the reference emits NO spikes for series shorter than the window
+    # (keyword_trends.rs detect_spikes: data.len() < window_size guard)
+    n_per_key = F.count("*").over(Window.partitionBy("key"))
+    return (
+        out.withColumn("_n", n_per_key)
+        .filter((F.col("magnitude") >= threshold)
+                & (F.col("_n") >= F.lit(window_size)))
+        .select("key", "day", "cnt", "magnitude", "zscore")
     )
 
 
@@ -84,12 +90,19 @@ def trend_slope(series: DataFrame) -> DataFrame:
     vel = F.when(F.col("mean_cnt") > 0, F.col("slope") / F.col("mean_cnt")).otherwise(
         F.lit(0.0)
     )
-    vel = F.least(F.greatest(vel, F.lit(-1.0)), F.lit(1.0))
+    # Spark greatest/least SKIP nulls, so a NULL slope (single-point
+    # series) would clamp to -1.0 and read as falling_fast; the reference
+    # refuses <2-point series (InsufficientData, keyword_trends.rs:319)
+    vel = F.when(
+        F.col("slope").isNotNull(),
+        F.least(F.greatest(vel, F.lit(-1.0)), F.lit(1.0)),
+    )
     return agg.select(
         "key",
         F.round("slope", 6).alias("slope"),
         F.round(vel, 6).alias("velocity"),
-        F.when(vel > 0.5, "rising_fast")
+        F.when(F.col("slope").isNull(), "insufficient_data")
+        .when(vel > 0.5, "rising_fast")
         .when(vel > 0.1, "rising")
         .when(vel < -0.5, "falling_fast")
         .when(vel < -0.1, "falling")
@@ -107,7 +120,11 @@ def percent_change(series: DataFrame) -> DataFrame:
         "day",
         "cnt",
         F.round(
-            F.when(prev > 0, (F.col("cnt") - prev) * 100.0 / prev), 6
+            F.when(prev > 0, (F.col("cnt") - prev) * 100.0 / prev)
+            # zero baseline reports the reference's arbitrary high value
+            # (keyword_trends.rs:381-383); first row (no prev) stays NULL
+            .when(prev == 0, F.lit(100.0)),
+            6,
         ).alias("pct_change"),
     )
 
@@ -162,7 +179,8 @@ def pmi_cooccurrence(doc_entities: DataFrame, min_pairs: int = 2) -> DataFrame:
     (entity_trends.rs:260-468).
 
     ``doc_entities``: (doc_id, entity) distinct pairs. Classic pair-count
-    self-join on doc_id with e1 < e2; PMI = ln(p_ab / (p_a * p_b)).
+    self-join on doc_id with e1 < e2; PMI = log2(p_ab / (p_a * p_b))
+    (base 2 like the reference, entity_trends.rs:254-262).
     """
     de = doc_entities.select("doc_id", "entity").distinct()
     n_docs = de.select("doc_id").distinct().count()
@@ -188,7 +206,7 @@ def pmi_cooccurrence(doc_entities: DataFrame, min_pairs: int = 2) -> DataFrame:
             "e2",
             "n_ab",
             F.round(
-                F.log(
+                F.log2(
                     (F.col("n_ab").cast("double") / n_docs)
                     / (
                         (F.col("n_a").cast("double") / n_docs)

@@ -49,7 +49,6 @@ def extract_urls(html: str) -> list[str]:
 def extract_urls_df(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Distributed variant: page html → one row per normalized article url
     (regexp_extract_all → explode → normalize → distinct → sort)."""
-    html_str = F.col(html_col).cast("string")
     hrefs = F.expr(
         f"regexp_extract_all(cast({html_col} as string), 'href=[\"\\']([^\"\\']+)[\"\\']', 1)"
     )

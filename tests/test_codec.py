@@ -97,3 +97,31 @@ def test_compression_beats_raw():
     for codec in (CODEC_VARINT, CODEC_FOR):
         blob, _, _ = encode_postings(ids, tfs, dls, avgdl=100.0, codec=codec)
         assert len(blob) < n * 24 / 4  # ≥4× smaller than raw int64 triplets
+
+
+def test_decode_many_chunked_cumsum_no_overflow():
+    """decode_many's segmented cumsum is chunked along the blob axis: a
+    batch of >4096 blobs carrying huge hash-range doc_ids (~2^50 each)
+    would overflow a single global int64 cumsum; chunking must keep every
+    doc_id exact, including across chunk boundaries."""
+    from baram_spark.index.codec import decode_many, encode_postings
+
+    big_base = 10_000_000_000_000 + (1 << 48)  # hash-fallback id range
+    n_blobs = 20_000  # Σ last_doc_id ≈ 1.1e19 > int64 max:
+    # a single global cumsum (the old code) wraps negative here
+    blobs, skips, expected = [], [], []
+    for i in range(n_blobs):
+        ids = np.array([big_base + 7 * i, big_base + 7 * i + 3],
+                       dtype=np.int64)
+        tfs = np.array([1, 2], dtype=np.int64)
+        dls = np.array([10, 20], dtype=np.int64)
+        blob, skip, _ = encode_postings(ids, tfs, dls, avgdl=10.0)
+        blobs.append(blob)
+        skips.append(skip)
+        expected.append(ids)
+    doc_ids, tfs_o, dls_o, dfs = decode_many(blobs, skips)
+    assert (dfs == 2).all()
+    got = doc_ids.reshape(n_blobs, 2)
+    exp = np.stack(expected)
+    assert (got == exp).all()
+    assert (doc_ids > 0).all()  # a wrapped cumsum would go negative

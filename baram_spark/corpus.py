@@ -81,7 +81,11 @@ _AUTHORS = ["김기자", "이기자", "박기자", None, None]
 
 
 def _sample_terms(rng: np.random.Generator, n: int) -> list[str]:
-    idx = np.searchsorted(_CUM_WEIGHTS, rng.random(n))
+    # the cumsum tail is ~1-3e-15 below 1.0: a draw inside that sliver
+    # would index VOCAB[len(VOCAB)] — clamp (deterministic per seed, so
+    # a big-enough corpus WOULD always crash at the same row)
+    idx = np.minimum(np.searchsorted(_CUM_WEIGHTS, rng.random(n)),
+                     len(VOCAB) - 1)
     return [VOCAB[i] for i in idx]
 
 
@@ -230,9 +234,23 @@ def pages_df(spark, n_docs: int, partitions: int = 32):
     """Distributed deterministic pages DataFrame (pure function of range)."""
 
     def gen(iterator):
+        import pandas as pd
+
         for pdf in iterator:
-            for idx in pdf["id"].tolist():
-                yield make_pages_pdf(idx, idx + 1)
+            ids = pdf["id"].tolist()
+            if not ids:
+                continue
+            # one DataFrame per incoming Arrow batch, not per row — the
+            # rows are per-id seeded, so batching changes no bytes.
+            # spark.range partitions are contiguous slices, so the whole
+            # batch is one make_pages_pdf range call
+            if ids == list(range(ids[0], ids[-1] + 1)):
+                yield make_pages_pdf(ids[0], ids[-1] + 1)
+            else:  # defensive: non-contiguous input ids
+                yield pd.concat(
+                    [make_pages_pdf(i, i + 1) for i in ids],
+                    ignore_index=True,
+                )
 
     return (
         spark.range(0, n_docs, 1, partitions)
@@ -251,7 +269,10 @@ def make_query_set() -> list[dict]:
         VOCAB[4500],                   # deep tail
         f"{VOCAB[5]} {VOCAB[50]}",     # two-term
         f"{VOCAB[3]} {VOCAB[300]} {VOCAB[2000]}",  # three-term mixed
-        "존재하지않는단어입니다",          # zero-hit
+        # zero-hit: analyzes to ONE token absent from every analyzed
+        # doc (the old text segmented to '단어', which decompounds
+        # out of tail vocab words like '단어부' — NOT zero-hit)
+        "없는용어찾기테스트",
         f"{VOCAB[0]} {VOCAB[1]}",      # two head terms
         f"{VOCAB[20]} nonexistenttermxyz",  # one real + one zero-hit
     ]

@@ -73,40 +73,61 @@ class LineageLedger:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.parquet(self.path)
 
-    #: stage name of an invalidate-all marker row (partition_id == -1):
-    #: every record of the fingerprint written at or before the marker is
-    #: treated as never-completed
-    INVALIDATE_ALL = "*"
+    #: stage-name prefix of an invalidation TOMBSTONE row: each such row
+    #: cancels ONE completion record of the same (stage, partition_id).
+    #: Count-based, so ordering never depends on wall-clock timestamps
+    #: (an NTP step backwards must not resurrect a discarded wave).
+    TOMBSTONE = "!"
 
     def completed(self, fingerprint: str) -> set[tuple[str, int]]:
         """{(stage, partition_id)} already done for this input fingerprint.
-        Records at or before the newest :meth:`invalidate` marker are
-        excluded — the wave was discarded and must re-run."""
+        A stage counts as completed when it has MORE completion records
+        than invalidation tombstones — re-records after an
+        :meth:`invalidate` count again."""
+        from collections import Counter
+
         rows = (
             self.read()
             .filter(F.col("fingerprint") == fingerprint)
-            .select("stage", "partition_id", "completed_at")
+            .select("stage", "partition_id")
             .collect()
         )
-        cut = max(
-            (r["completed_at"] for r in rows
-             if r["stage"] == self.INVALIDATE_ALL
-             and r["partition_id"] == -1),
-            default=None,
-        )
-        return {
-            (r["stage"], r["partition_id"])
-            for r in rows
-            if r["stage"] != self.INVALIDATE_ALL
-            and (cut is None or r["completed_at"] > cut)
-        }
+        live: Counter = Counter()
+        for r in rows:
+            stage = r["stage"]
+            if stage.startswith(self.TOMBSTONE):
+                live[(stage[1:], r["partition_id"])] -= 1
+            else:
+                live[(stage, r["partition_id"])] += 1
+        return {key for key, n in live.items() if n > 0}
 
     def invalidate(self, fingerprint: str) -> None:
-        """Append an invalidate-all marker: every stage recorded so far for
-        this fingerprint is stale (e.g. its staged generation was discarded
-        after an optimistic-concurrency conflict). Later re-records of the
-        same stages count again."""
-        self.record_many([(self.INVALIDATE_ALL, -1, fingerprint, 0, 0, 0.0)])
+        """Cancel every completion recorded so far for this fingerprint
+        (e.g. its staged generation was discarded after an
+        optimistic-concurrency conflict): one tombstone per outstanding
+        completion record, so later re-records count again."""
+        from collections import Counter
+
+        rows = (
+            self.read()
+            .filter(F.col("fingerprint") == fingerprint)
+            .select("stage", "partition_id")
+            .collect()
+        )
+        outstanding: Counter = Counter()
+        for r in rows:
+            stage = r["stage"]
+            if stage.startswith(self.TOMBSTONE):
+                outstanding[(stage[1:], r["partition_id"])] -= 1
+            else:
+                outstanding[(stage, r["partition_id"])] += 1
+        kills = [
+            (f"{self.TOMBSTONE}{stage}", pid, fingerprint, 0, 0, 0.0)
+            for (stage, pid), n in outstanding.items()
+            for _ in range(max(n, 0))
+        ]
+        if kills:
+            self.record_many(kills)
 
     def record(self, stage: str, partition_id: int, fingerprint: str,
                rows_in: int, rows_out: int, seconds: float) -> None:
@@ -117,6 +138,8 @@ class LineageLedger:
     def record_many(self, rows: list[tuple]) -> None:
         """Batch append: [(stage, partition_id, fingerprint, rows_in,
         rows_out, seconds), ...] — one pyarrow file, no Spark job."""
+        if not rows:
+            return
         now = datetime.utcnow()
         cols = list(zip(*rows))
         table = pa.table(

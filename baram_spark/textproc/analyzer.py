@@ -19,8 +19,10 @@ deterministic from-scratch equivalent with the same chain shape:
   dictionary compounds emit compound + parts (``decompound_mode: "mixed"``);
   one trailing particle (조사) is split off as its own token (nori keeps
   josa — J* tags are NOT in the reference stoptag list).
-- posfilter: drops tokens tagged IC/MAG/MM (pinned word lists) and XS*
-  affix splits; punctuation classes (S*) never materialize as tokens.
+- posfilter: drops tokens tagged IC/MAG/MM (pinned word lists);
+  punctuation classes (S*) never materialize as tokens. The reference's
+  XS* affix stoptags have no analog here: this segmenter never splits
+  affixes off as separate tokens, so there is nothing to drop.
 - lowercase.
 - readingform: pinned Hanja→Hangul reading map (index analyzer only).
 
@@ -90,7 +92,6 @@ HANJA_READINGS: dict[str, str] = {
     "經": "경", "濟": "제", "新": "신", "聞": "문",
 }
 _HANJA_RE = re.compile("[" + "".join(HANJA_READINGS) + "]")
-_HANJA_RUN_RE = re.compile(r"[一-鿿]+")
 
 
 @lru_cache(maxsize=262144)

@@ -59,6 +59,15 @@ def chunk_text(
     n = len(offsets)
     if n <= max_tokens:
         return [TextChunk(text, n, 0, 1, 0, len(text))]
+    if overlap_tokens >= max_tokens:
+        # a non-positive step would walk backwards through negative
+        # indices emitting garbage chunks before an IndexError (the Rust
+        # reference's usize subtraction traps here too — but only when
+        # the text is actually long enough to chunk, hence the order)
+        raise ValueError(
+            f"overlap_tokens={overlap_tokens} must be < "
+            f"max_tokens={max_tokens}"
+        )
     chunks: list[TextChunk] = []
     step = max_tokens - overlap_tokens
     start_idx = 0

@@ -71,3 +71,16 @@ def test_chunk_docs_spark(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc[1]) == 4
     assert len(by_doc[2]) == 1
+
+
+def test_overlap_ge_max_tokens_raises():
+    """A non-positive window step must raise (the old code walked
+    backwards through negative indices emitting garbage chunks); small
+    texts that never chunk keep accepting any overlap."""
+    import pytest
+
+    long_text = " ".join(f"t{i}" for i in range(100))
+    with pytest.raises(ValueError, match="must be <"):
+        chunk_text(long_text, max_tokens=8, overlap_tokens=12)
+    # short text: single chunk regardless of overlap (reference order)
+    assert len(chunk_text("a b c", max_tokens=10)) == 1

@@ -436,3 +436,29 @@ def test_occ_retry_survives_concurrent_vacuum(spark, tmp_path):
     n_new = committed.filter(F.col("aid").cast("long") >= 160).count()
     assert n_new > 0
     assert committed.count() == committed.select("url").distinct().count()
+
+
+def test_ledger_invalidation_is_clock_free(spark, tmp_path):
+    """Invalidation uses count-based tombstones, not wall-clock ordering:
+    records that PREDATE the invalidate stay dead even if their
+    timestamps sort after the marker (an NTP step backwards must never
+    resurrect a discarded wave), and re-records count again."""
+    from baram_spark.index.lineage import LineageLedger
+
+    led = LineageLedger(spark, f"{tmp_path}/ledger")
+    led.record("docs.g1", 0, "fp", 0, 10, 1.0)
+    led.record("postings.g1", 3, "fp", 0, 5, 1.0)
+    assert led.completed("fp") == {("docs.g1", 0), ("postings.g1", 3)}
+
+    led.invalidate("fp")
+    assert led.completed("fp") == set()
+    led.invalidate("fp")  # idempotent: nothing outstanding to tombstone
+    assert led.completed("fp") == set()
+
+    # re-record after invalidation counts again
+    led.record("docs.g1", 0, "fp", 0, 10, 1.0)
+    assert led.completed("fp") == {("docs.g1", 0)}
+
+    # record_many([]) is a no-op, not an IndexError
+    led.record_many([])
+    assert led.completed("fp") == {("docs.g1", 0)}

@@ -43,8 +43,12 @@ _KOREAN_AMPM_RE = re.compile(
     r"(\d{4})[.-](\d{1,2})[.-](\d{1,2})[.]?\s*(오전|오후)\s*(\d{1,2}):(\d{2})"
 )
 
+# chrono's parse_from_rfc3339 (mod.rs:206) accepts ONLY T/t separators
+# and does no trimming — a space-separated offset timestamp or padded
+# input is None in the reference (its space formats are the OFFSET-LESS
+# KST strptime list below), so this regex must not be looser
 _RFC3339_RE = re.compile(
-    r"^(\d{4})-(\d{2})-(\d{2})[Tt ](\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?"
+    r"^(\d{4})-(\d{2})-(\d{2})[Tt](\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?"
     r"(Z|z|[+-]\d{2}:?\d{2})$"
 )
 
@@ -96,7 +100,7 @@ def parse_korean_datetime(date_str: str) -> datetime | None:
 
 def parse_date_string(date_str: str) -> datetime | None:
     """Metadata-path date parse (mod.rs:200-240): naive treated as KST."""
-    m = _RFC3339_RE.match(date_str.strip())
+    m = _RFC3339_RE.match(date_str)
     if m:
         dt = datetime(
             int(m.group(1)), int(m.group(2)), int(m.group(3)),

@@ -106,18 +106,6 @@ _ERROR_SELECTORS = (
 _DELETED_CONTENT_PROBES = ("#dic_area", ".article_body", ".news_end", "article")
 
 
-# precompiled Selector objects (compile once per worker process)
-_SEL_CACHE: dict[str, Selector] = {}
-
-
-def _sel(s: str) -> Selector:
-    sel = _SEL_CACHE.get(s)
-    if sel is None:
-        sel = Selector.parse(s)
-        _SEL_CACHE[s] = sel
-    return sel
-
-
 class FORMAT:
     GENERAL = "general"
     ENTERTAINMENT = "entertainment"
@@ -126,27 +114,35 @@ class FORMAT:
     UNKNOWN = "unknown"
 
 
-def decode_bytes(raw: bytes) -> str:
-    """Charset decode chain: UTF-8 → EUC-KR → meta-tag sniff → lossy UTF-8.
+def decode_bytes(raw: bytes) -> str | None:
+    """Charset decode chain: UTF-8 → EUC-KR → meta-tag sniff.
 
-    Mirrors /root/reference/src/crawler/fetcher.rs:339-372.
-    """
+    Mirrors /root/reference/src/crawler/fetcher.rs:339-372. Two parity
+    details: the reference's encoding_rs "EUC-KR" is WHATWG EUC-KR,
+    which is the cp949 superset (Python's strict 'euc-kr' rejects
+    cp949-only syllables like 뷁 that real pages contain), and an
+    undecodable page is an ERROR there — returning mojibake via lossy
+    replacement would index garbage docs the reference rejects, so this
+    returns None instead (callers drop the page as unparseable)."""
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
         pass
     try:
-        return raw.decode("euc-kr")
+        return raw.decode("cp949")  # WHATWG EUC-KR
     except UnicodeDecodeError:
         pass
     head = raw[:2048].decode("ascii", errors="ignore").lower()
     m = re.search(r'charset=["\']?([\w-]+)', head)
     if m:
+        enc = m.group(1)
+        if enc in ("euc-kr", "euckr", "ks_c_5601-1987"):
+            enc = "cp949"
         try:
-            return raw.decode(m.group(1))
+            return raw.decode(enc)
         except (UnicodeDecodeError, LookupError):
             pass
-    return raw.decode("utf-8", errors="replace")
+    return None
 
 
 def extract_ids(url: str) -> tuple[str, str] | None:
@@ -195,14 +191,17 @@ def is_deleted_article(html: str, doc: Document) -> bool:
             if any(ind in text for ind in _DELETED_INDICATORS):
                 return True
     has_area = any(doc.select_first(p) is not None for p in _DELETED_CONTENT_PROBES)
-    if not has_area and len(html) < 5000:
+    # the reference compares UTF-8 BYTE length (html.rs:403 html.len());
+    # Korean pages are ~3 bytes/char, so a char-count comparison would
+    # delete pages the reference keeps
+    if not has_area and len(html.encode("utf-8")) < 5000:
         return True
     return False
 
 
 def _first_match(doc: Document, selectors: list[str]) -> str | None:
     for s in selectors:
-        el = doc.select_first(_sel(s))
+        el = doc.select_first(s)
         if el is not None:
             text = el.text()
             if has_content(text):
@@ -210,26 +209,9 @@ def _first_match(doc: Document, selectors: list[str]) -> str | None:
     return None
 
 
-def _remove_noise_from_html(doc_html: str) -> str:
-    """String-replace serialized noise elements out of serialized content.
-
-    This intentionally replicates the reference's *string replacement*
-    semantics (html.rs:329-341) — NOT DOM removal — because they differ when
-    identical markup appears in multiple places.
-    """
-    frag = parse_html(doc_html)
-    result = doc_html
-    for s in NOISE_ELEMENTS:
-        for el in frag.select(_sel(s)):
-            noise_html = el.html()
-            if noise_html:
-                result = result.replace(noise_html, "")
-    return result
-
-
 def _content_text(doc: Document, selectors: list[str]) -> str | None:
     for s in selectors:
-        el = doc.select_first(_sel(s))
+        el = doc.select_first(s)
         if el is not None:
             # fast path: noise selectors are single compounds (no
             # combinators), so matching them against el's subtree in the
@@ -238,7 +220,7 @@ def _content_text(doc: Document, selectors: list[str]) -> str | None:
             content_html = el.html()
             clean_html = content_html
             for ns in NOISE_ELEMENTS:
-                nsel = _sel(ns)
+                nsel = Selector.parse(ns)
                 for sub in el.iter():
                     if sub is not el and nsel.matches(sub):
                         noise_html = sub.html()
@@ -252,7 +234,7 @@ def _content_text(doc: Document, selectors: list[str]) -> str | None:
 
 def _publisher(doc: Document, selectors: list[str]) -> str | None:
     for s in selectors:
-        el = doc.select_first(_sel(s))
+        el = doc.select_first(s)
         if el is not None:
             alt = el.attrs.get("alt")
             if has_content(alt):
@@ -266,7 +248,7 @@ def _publisher(doc: Document, selectors: list[str]) -> str | None:
 def _captions(doc: Document) -> str | None:
     captions = []
     for s in CARD_CAPTIONS:
-        for el in doc.select(_sel(s)):
+        for el in doc.select(s):
             text = el.text()
             if has_content(text):
                 captions.append(text)
@@ -307,7 +289,13 @@ def _parse_format(doc: Document, fmt: str) -> dict | None:
     if content is None or not has_content(content):
         return None
     date = _first_match(doc, date_sel)
-    publisher = _publisher(doc, pub_sel)
+    # img-alt-first publisher extraction is a GENERAL-format behavior
+    # (html.rs:159 extract_publisher); entertainment/sports use the plain
+    # text-only first-match (html.rs:190, 221)
+    if fmt == FORMAT.GENERAL:
+        publisher = _publisher(doc, pub_sel)
+    else:
+        publisher = _first_match(doc, pub_sel)
     author = _first_match(doc, author_sel)
     return {
         "title": sanitize_text(title),
@@ -393,7 +381,9 @@ def extract_batch(html: pd.Series, url: pd.Series) -> pd.DataFrame:
             page = decode_bytes(bytes(raw))
         else:
             page = raw or ""
-        parsed = parse_with_fallback(page, u or "")
+        # undecodable bytes: the page is unparseable (never mojibake)
+        parsed = (parse_with_fallback(page, u or "")
+                  if page is not None else None)
         if parsed is None:
             for c in _EXTRACT_COLUMNS:
                 out[c].append(None)

@@ -102,9 +102,14 @@ class _Part:
             have = el.classes
             if any(c not in have for c in self.classes):
                 return False
-        for name, sub in self.attrs:
+        for name, op, want in self.attrs:
             val = el.attrs.get(name)
-            if val is None or sub not in val:
+            if val is None:
+                return False
+            if op == "*=":
+                if want not in val:
+                    return False
+            elif val != want:  # '=' is EXACT match (CSS semantics)
                 return False
         return True
 
@@ -116,7 +121,9 @@ _PART_RE = re.compile(
     """,
     re.VERBOSE,
 )
-_TOKEN_RE = re.compile(r"\#([\w-]+)|\.([\w-]+)|\[([\w-]+)\*?=['\"]?([^'\"\]]*)['\"]?\]")
+_TOKEN_RE = re.compile(
+    r"\#([\w-]+)|\.([\w-]+)|\[([\w-]+)(\*?=)['\"]?([^'\"\]]*)['\"]?\]"
+)
 
 
 def _parse_compound(text: str) -> _Part:
@@ -132,7 +139,9 @@ def _parse_compound(text: str) -> _Part:
         elif tok.group(2):
             classes.append(tok.group(2))
         else:
-            attrs.append((tok.group(3).lower(), tok.group(4)))
+            attrs.append(
+                (tok.group(3).lower(), tok.group(4), tok.group(5))
+            )
     part.classes = tuple(classes)
     part.attrs = tuple(attrs)
     return part
@@ -167,11 +176,14 @@ class Selector:
                 if tok is None or tok == "":
                     continue
                 if tok == ">":
-                    if combs:
-                        combs[-1] = "child"
+                    # relates the NEXT pair — recorded when the next
+                    # compound arrives (the old code rewrote the
+                    # PREVIOUS pair, or dropped a leading '>')
+                    pending_comb = "child"
                     continue
                 if parts:
-                    combs.append("desc")
+                    combs.append(pending_comb or "desc")
+                pending_comb = None
                 parts.append(_parse_compound(tok))
             chains.append((parts, combs))
         sel = cls(chains)

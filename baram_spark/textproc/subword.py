@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, functions as F
 #: Concatenating the pre-tokens reproduces the text exactly, which is
 #: what makes decode(encode(text)) == text.
 _PRETOKEN_RE = re.compile(r"\s+|\S+")
-_PRETOKEN_SQL = r"\\s+|\\S+"
+#: (?U) = Java UNICODE_CHARACTER_CLASS, so Spark's \s matches the same
+#: Unicode whitespace (U+3000, NBSP, ...) Python's re does — otherwise
+#: the distributed word counts train over different word types than the
+#: encoder ever produces on non-ASCII whitespace
+_PRETOKEN_SQL = r"(?U)\\s+|\\S+"
 
 
 def pretokenize(text: str) -> list[str]:
@@ -47,20 +51,28 @@ def train_bpe(word_counts: dict[bytes, int], vocab_size: int,
               min_frequency: int = 2) -> list[tuple[bytes, bytes]]:
     """Greedy BPE merges from a word-frequency table, deterministic:
     ties break on the lexicographically smallest pair. Returns the merge
-    list in rank order (vocab = 256 bytes + one token per merge)."""
+    list in rank order (vocab = 256 bytes + one token per merge).
+
+    Incremental, the way production trainers work: the pair-count table
+    and a pair→word index are built once; each merge touches only the
+    words that actually CONTAIN the merged pair, adjusting the counts of
+    the pairs adjacent to every application — never a full rescan of the
+    word table per merge."""
     words: list[tuple[list[bytes], int]] = [
         ([bytes([c]) for c in wb], cnt) for wb, cnt in sorted(
             word_counts.items()
         ) if wb
     ]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple, set] = {}
+    for wi, (parts, cnt) in enumerate(words):
+        for i in range(len(parts) - 1):
+            pair = (parts[i], parts[i + 1])
+            pair_counts[pair] += cnt
+            pair_words.setdefault(pair, set()).add(wi)
+
     merges: list[tuple[bytes, bytes]] = []
-    while 256 + len(merges) < vocab_size:
-        pair_counts: Counter = Counter()
-        for parts, cnt in words:
-            for i in range(len(parts) - 1):
-                pair_counts[(parts[i], parts[i + 1])] += cnt
-        if not pair_counts:
-            break
+    while 256 + len(merges) < vocab_size and pair_counts:
         # max count; smallest pair on ties — deterministic across runs
         best_pair, best_n = min(
             pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
@@ -70,13 +82,33 @@ def train_bpe(word_counts: dict[bytes, int], vocab_size: int,
         merges.append(best_pair)
         a, b = best_pair
         merged = a + b
-        for parts, _ in words:
+        for wi in sorted(pair_words.get(best_pair, ())):
+            parts, cnt = words[wi]
             i = 0
             while i < len(parts) - 1:
-                if parts[i] == a and parts[i + 1] == b:
-                    parts[i:i + 2] = [merged]
-                else:
+                if parts[i] != a or parts[i + 1] != b:
                     i += 1
+                    continue
+                # neighbors' pair counts shift around the merge site
+                if i > 0:
+                    left = (parts[i - 1], a)
+                    pair_counts[left] -= cnt
+                    if pair_counts[left] <= 0:
+                        del pair_counts[left]
+                    new_left = (parts[i - 1], merged)
+                    pair_counts[new_left] += cnt
+                    pair_words.setdefault(new_left, set()).add(wi)
+                if i + 2 < len(parts):
+                    right = (b, parts[i + 2])
+                    pair_counts[right] -= cnt
+                    if pair_counts[right] <= 0:
+                        del pair_counts[right]
+                    new_right = (merged, parts[i + 2])
+                    pair_counts[new_right] += cnt
+                    pair_words.setdefault(new_right, set()).add(wi)
+                parts[i:i + 2] = [merged]
+        pair_counts.pop(best_pair, None)
+        pair_words.pop(best_pair, None)
     return merges
 
 
@@ -103,6 +135,11 @@ class BpeTokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    #: per-word memo bound — high-cardinality pre-tokens (numbers, urls,
+    #: hashes) would otherwise grow the cache without limit inside
+    #: long-lived executor processes
+    CACHE_MAX = 1 << 20
+
     def _encode_word(self, wb: bytes) -> list[int]:
         hit = self._cache.get(wb)
         if hit is not None:
@@ -118,6 +155,8 @@ class BpeTokenizer:
                 break
             parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
         ids = [self.vocab[p] for p in parts]
+        if len(self._cache) >= self.CACHE_MAX:
+            self._cache.clear()  # cheap bound; hot words re-warm fast
         self._cache[wb] = ids
         return ids
 

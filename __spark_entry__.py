@@ -87,11 +87,17 @@ def _bm25_scores(spark, sf_dir):
     The final scores relation is itself cached and memoized per
     (session, sf_dir) so bm25_topk and bm25_topk_filtered share ONE
     materialization instead of re-running the tokenize+score pipeline."""
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a stopped session's CPython
+    # id can be reused by a new one, which would hand back DataFrames
+    # bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BM25_SCORES_CACHE:
         return _BM25_SCORES_CACHE[key]
-    toks = _doc_tokens(spark, sf_dir)
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    # tf comes from the same relation the SQL-checkable q_doc_tf exposes,
+    # so the scoring path can never silently diverge from it
+    tf = _doc_tf(spark, sf_dir).withColumn(
+        "tf", F.col("tf").cast("int")
+    ).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

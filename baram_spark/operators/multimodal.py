@@ -26,6 +26,7 @@ Decode support is two-tier:
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 import io
 import struct
@@ -773,17 +774,18 @@ def try_decode_features(payload: bytes, kind: str,
     return None
 
 
-def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
+def _decode_stub(payload: bytes, kind: str, dim: int = 32) -> np.ndarray:
     """DETERMINISTIC FAKE decoder (no media libs in this container).
 
     Production: replace with PIL.Image.open / soundfile.read / pyav frames.
-    The fake derives a fixed-length float vector from the payload bytes so
-    downstream plumbing (batching, schemas, feature joins) is fully
-    exercised and reproducible.
-    """
+    The fake derives a ``dim``-length float vector from the payload bytes
+    so downstream plumbing (batching, schemas, feature joins) is fully
+    exercised and reproducible — every row in the feature column must
+    carry the SAME dimension whichever tier produced it."""
     digest = hashlib.sha256(payload).digest()
-    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
-    return arr / 255.0  # 32-dim pseudo-feature
+    reps = -(-dim // len(digest))
+    arr = np.frombuffer(digest * reps, dtype=np.uint8)[:dim]
+    return arr.astype(np.float32) / 255.0
 
 
 def extract_features(media: DataFrame, feat_dim: int = 32) -> DataFrame:
@@ -804,7 +806,7 @@ def extract_features(media: DataFrame, feat_dim: int = 32) -> DataFrame:
                         feats.append(real.tolist())
                         decs.append(True)
                     else:
-                        feats.append(_decode_stub(raw, kind)[:feat_dim].tolist())
+                        feats.append(_decode_stub(raw, kind, feat_dim).tolist())
                         decs.append(False)
                     oks.append(True)
                 except Exception:
@@ -1143,13 +1145,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                             end_ms = samp[-1][0]
                             n = min(max_frames, end_ms // every_ms + 1)
                             ts_arr = [x[0] for x in samp]
-                            import bisect
-
                             for i in range(int(n)):
                                 want = i * every_ms
                                 j = bisect.bisect_left(ts_arr, want)
                                 if j >= len(samp):
                                     j = len(samp) - 1
+                                elif j > 0 and (
+                                    want - ts_arr[j - 1]
+                                    < ts_arr[j] - want
+                                ):
+                                    j -= 1  # NEAREST sample, not at-or-after
                                 ts, off, sz = samp[j]
                                 picked.append(
                                     (i, ts,
@@ -1166,7 +1171,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                         out["frame_sha"].append(sha)
                         out["decoded"].append(True)
                 else:
-                    n = min(max_frames, max(int((dur or 0) // every_ms), 0))
+                    # ticks through the duration INCLUDING tick 0, like
+                    # the MP4 path — a short clip must not vanish from
+                    # the output just because its container is stubbed
+                    n = min(max_frames,
+                            max(int((dur or 0) // every_ms), 0) + 1)
                     for i in range(n):
                         out["media_id"].append(mid)
                         out["frame_idx"].append(i)

@@ -36,7 +36,8 @@ def token_counts(docs: DataFrame, text_col: str = "text",
         .alias("n_tokens"),
         F.size(
             F.expr(
-                f"filter(split({text_col}, '[^a-zA-Z0-9가-힣]+'), x -> x != '')"
+                f"filter(split(`{text_col}`, '[^a-zA-Z0-9가-힣]+'), "
+                "x -> x != '')"
             )
         ).alias("n_words"),
         F.length(text_col).alias("n_chars"),

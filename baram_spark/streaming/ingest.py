@@ -82,11 +82,22 @@ def stream_build(
             bloom = CommittedUrlBloom()  # nothing committed: vacuously
             # a superset; the first wave has no anti-join anyway
 
+    # batch ids restart at 0 for every checkpoint dir, but the lineage
+    # ledger resumes by fingerprint string alone PER INDEX — a fresh
+    # checkpoint against an existing index would replay 'batch-0' and
+    # silently skip indexing its (different) pages. Namespace the
+    # fingerprint by the checkpoint identity.
+    import hashlib
+
+    stream_id = hashlib.blake2b(
+        checkpoint_dir.encode("utf-8"), digest_size=4
+    ).hexdigest()
+
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         builder.build_incremental(
-            batch_df, fingerprint=f"stream-batch-{batch_id}",
+            batch_df, fingerprint=f"stream-{stream_id}-batch-{batch_id}",
             occ_retries=occ_retries, bloom=bloom,
         )
         if bloom is not None:

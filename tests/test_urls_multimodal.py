@@ -61,7 +61,8 @@ def test_multimodal_features(spark):
 
     frames = sample_frames(media, every_ms=1000, max_frames=8).collect()
     assert {r["media_id"] for r in frames} == {3}
-    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
+    # ticks 0..3500ms inclusive of tick 0, like the real-MP4 path
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]
     # deterministic fingerprints
     f0 = [r for r in frames if r["frame_idx"] == 0][0]
     assert f0["frame_sha"] == hashlib.sha256(

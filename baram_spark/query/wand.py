@@ -192,11 +192,19 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
                                 denied=denied)
 
     # --- segment construction -------------------------------------------
-    pts = []
-    for tp in terms:
+    def _block_los(tp) -> np.ndarray:
+        """Inclusive lower doc-id edge of each block ([] for an empty
+        term — a zero-block term contributes nothing and must not crash
+        the pruned path while score_exhaustive handles it fine)."""
         los = np.empty(tp.n_blocks, dtype=np.int64)
-        los[0] = 0
-        los[1:] = tp.last_ids[:-1] + 1
+        if tp.n_blocks:
+            los[0] = 0
+            los[1:] = tp.last_ids[:-1] + 1
+        return los
+
+    term_los = [_block_los(tp) for tp in terms]
+    pts = []
+    for tp, los in zip(terms, term_los):
         pts.append(los)
         pts.append(tp.last_ids + 1)  # exclusive upper edges
     cuts = np.unique(np.concatenate(pts))
@@ -208,12 +216,9 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
 
     seg_ub = np.zeros(n_seg, dtype=np.float64)
     seg_block: list[np.ndarray] = []
-    for tp in terms:
+    for tp, los in zip(terms, term_los):
         bidx = np.searchsorted(tp.last_ids, seg_lo)
         covered = bidx < tp.n_blocks
-        los = np.empty(tp.n_blocks, dtype=np.int64)
-        los[0] = 0
-        los[1:] = tp.last_ids[:-1] + 1
         ok = covered.copy()
         ok[covered] = los[bidx[covered]] < seg_hi[covered]
         ub = np.zeros(n_seg, dtype=np.float64)

@@ -309,6 +309,15 @@ class IndexBuilder:
         if terms_done:
             metrics["resumed_stages"].append(stage_terms)
         if docs_done and terms_done and emb_done:
+            # even a fully-resumed build must repair a missing doc_attrs
+            # dir (a crash after embeddings but before the attrs write
+            # would otherwise leave this generation permanently without
+            # its attribute index, silently degrading filtered queries
+            # to full docs scans)
+            if not self._exists(f"{self.doc_attrs_path}/gen={gen}"):
+                on_disk = self.spark.read.parquet(
+                    f"{self.docs_path}/gen={gen}")
+                self._stage_doc_attrs(on_disk, gen)
             return
         if docs_done:
             # docs already on disk: finish the missing stages from parquet
@@ -922,15 +931,36 @@ class IndexBuilder:
         m = self._read_manifest()
         if m is None:
             return {"removed_gens": []}
+        base_sid = int(m.get("snapshot_id", 0))
         history = list(m.get("history", []))[-max(retain_snapshots, 1):]
         referenced = {int(g) for h in history for g in h["generations"]}
         referenced |= {int(g) for g in m.get("generations", [])}
         before = set(self.generations())
+        # vacuum is itself an OCC commit: it advances snapshot_id (so a
+        # concurrent writer whose base_sid predates the vacuum conflicts
+        # and retries instead of committing over the shrunk history), and
+        # it aborts if another writer advanced the snapshot between our
+        # read and the swap — otherwise that writer's commit would be
+        # silently reverted and its fresh generation dirs GC'd.
+        sid = base_sid + 1
+        history.append({
+            "snapshot_id": sid,
+            "generations": sorted({int(g) for g in m.get("generations", [])}),
+        })
         m["history"] = history
+        m["snapshot_id"] = sid
         local_dir = self.out.removeprefix("file:")
         tmp = os.path.join(local_dir, f"._manifest.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(m, f)
+        cur = self._read_manifest()
+        if int((cur or {}).get("snapshot_id", 0)) != base_sid:
+            os.remove(tmp)
+            raise SnapshotConflictError(
+                f"snapshot advanced {base_sid} → "
+                f"{int((cur or {}).get('snapshot_id', 0))} during vacuum; "
+                f"re-run vacuum against the new snapshot"
+            )
         os.rename(tmp, os.path.join(local_dir, "_manifest.json"))
         self._gc_gen_dirs(referenced)
         return {"removed_gens": sorted(before - referenced)}

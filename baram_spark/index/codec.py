@@ -389,9 +389,14 @@ def decode_many(blobs, skips_blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
         c1 = min(c0 + CHUNK, n_blobs)
         lo = int(first[c0])
         hi = int(first[c1 - 1] + dfs[c1 - 1])
+        if hi == lo:
+            continue  # every blob in the chunk is zero-df: nothing to fill
         seg = deltas[lo:hi].astype(np.int64)
         g = np.cumsum(seg)
-        f_local = (first[c0:c1] - lo).astype(np.int64)
+        # a zero-df blob sitting at the chunk's end would index one past
+        # seg; clamp — np.repeat with dfs=0 discards the value anyway
+        f_local = np.minimum((first[c0:c1] - lo).astype(np.int64),
+                             len(seg) - 1)
         offset = np.repeat(g[f_local] - seg[f_local], dfs[c0:c1])
         doc_ids[lo:hi] = g - offset - 1
     return doc_ids, tfs, dls, dfs

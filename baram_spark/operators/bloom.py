@@ -182,6 +182,10 @@ class CommittedUrlBloom:
         """Build from a url DataFrame in ONE distributed pass."""
         n = df.count()
         inst = cls(max(min_capacity, int(n * headroom)), fp_rate)
+        if n == 0:
+            # treeReduce raises on an empty RDD; a fresh filter is already
+            # a valid superset of zero committed urls
+            return inst
         cap, fp = inst.capacity, inst.fp_rate
 
         def part_bits(rows):

@@ -364,8 +364,10 @@ class SearchEngine:
         ``allowed_ids`` lets a serving tier that already holds the doc
         metadata pass a precomputed sorted candidate array directly — zero
         Spark jobs for filtered local-mode queries."""
-        k = max(1, min(k, MAX_K))  # negative k would slice "all but
-        # the last" in the top-k merges and defeat the cap
+        if k <= 0:
+            return []  # k=0 means "no hits", not "one hit"
+        k = min(k, MAX_K)  # upper cap only; negative k would slice
+        # "all but the last" in the top-k merges and defeat the cap
         terms = sorted(set(analyze_search(query_text)))
         if not terms:
             return []

@@ -261,8 +261,10 @@ class ServingContext:
                threshold: float | None = None,
                bm25_weight: float | None = None,
                publisher: str | None = None) -> dict:
-        k = max(1, min(k, MAX_K))  # lower bound too: a negative k would
-        # slice as "all but the last" and defeat the response cap
+        if k <= 0:  # k=0 means "no hits", not "one hit"
+            return {"query": q, "mode": mode, "total": 0, "results": []}
+        k = min(k, MAX_K)  # upper cap only; a negative k would slice
+        # as "all but the last" and defeat the response cap
         snap = self._snap  # one snapshot per request (refresh-safe)
         allowed = self._allowed(snap, category, date_from, date_to,
                                 publisher)

@@ -67,3 +67,46 @@ def test_tie_break_doc_id_asc():
 def test_duplicate_query_terms_count_once():
     idx = BruteForceIndex.build(_docs())
     assert idx.search("경제 경제", k=4) == idx.search("경제", k=4)
+
+
+def test_blockmax_zero_block_term_matches_exhaustive():
+    """A query term whose postings pack to ZERO blocks in one shard (all
+    its docs tombstoned then compacted away in that generation) must not
+    crash the pruned path and must rank identically to score_exhaustive
+    (pin for the dbb4f2c wand.py fix)."""
+    import numpy as np
+
+    from baram_spark.index.codec import CODEC_VARINT, encode_postings
+    from baram_spark.query.wand import (
+        TermPostings,
+        score_blockmax,
+        score_exhaustive,
+    )
+
+    ids = np.array([2, 5, 9], dtype=np.int64)
+    tfs = np.array([1, 2, 1], dtype=np.int64)
+    dls = np.array([10, 12, 8], dtype=np.int64)
+    blob, skips, bmx = encode_postings(ids, tfs, dls, avgdl=10.0)
+    normal = TermPostings("content", "살아있는", 1.7, blob, skips, bmx,
+                          avgdl=10.0)
+
+    def empty_term():
+        return TermPostings(
+            "content", "사라진", 2.3, bytes([CODEC_VARINT]),
+            np.array([0], dtype=np.int64).tobytes(), b"", avgdl=10.0)
+
+    assert empty_term().n_blocks == 0
+    for terms in ([normal, empty_term()], [empty_term(), normal]):
+        got = score_blockmax(terms, k=10)
+        exp = score_exhaustive(terms, k=10)
+        assert got == exp
+        assert [d for d, _ in got] == [2, 5, 9][:len(got)] or len(got) == 3
+    # a query of ONLY zero-block terms returns empty, pruned or not
+    assert score_blockmax([empty_term()], k=10) == []
+    assert score_exhaustive([empty_term()], k=10) == []
+    # min_score + allowed filtering still work alongside the empty term
+    allowed = np.array([5], dtype=np.int64)
+    got = score_blockmax([normal, empty_term()], k=10, allowed=allowed)
+    assert got == score_exhaustive([normal, empty_term()], k=10,
+                                   allowed=allowed)
+    assert [d for d, _ in got] == [5]

@@ -125,3 +125,58 @@ def test_decode_many_chunked_cumsum_no_overflow():
     exp = np.stack(expected)
     assert (got == exp).all()
     assert (doc_ids > 0).all()  # a wrapped cumsum would go negative
+
+
+def test_decode_many_zero_df_blob_at_chunk_boundary():
+    """A zero-df blob (hand-built / corrupt input — encode always emits
+    df>=1) must not crash the chunked segmented cumsum, including when it
+    sits exactly at a chunk boundary (index c0+CHUNK-1) or trails the
+    batch, and when an entire chunk is zero-df."""
+    from baram_spark.index.codec import (
+        CODEC_VARINT,
+        decode_many,
+        encode_postings,
+    )
+
+    def zero_blob():
+        return (bytes([CODEC_VARINT]),
+                np.array([0], dtype=np.int64).tobytes())
+
+    def normal_blob(i):
+        ids = np.array([5 * i + 1, 5 * i + 3], dtype=np.int64)
+        blob, skip, _ = encode_postings(
+            ids, np.array([1, 2], dtype=np.int64),
+            np.array([10, 20], dtype=np.int64), avgdl=10.0)
+        return blob, skip, ids
+
+    CHUNK = 4096
+    n_blobs = CHUNK + 8
+    blobs, skips, expected = [], [], []
+    zero_at = {CHUNK - 1, CHUNK, n_blobs - 1}  # boundary, start, trailing
+    for i in range(n_blobs):
+        if i in zero_at:
+            b, s = zero_blob()
+            blobs.append(b)
+            skips.append(s)
+        else:
+            b, s, ids = normal_blob(i)
+            blobs.append(b)
+            skips.append(s)
+            expected.append(ids)
+    doc_ids, tfs, dls, dfs = decode_many(blobs, skips)
+    assert dfs.sum() == 2 * (n_blobs - len(zero_at))
+    assert [int(dfs[i]) for i in sorted(zero_at)] == [0, 0, 0]
+    assert (doc_ids == np.concatenate(expected)).all()
+
+    # an ENTIRE chunk of zero-df blobs (hi == lo) must be skipped cleanly
+    blobs2, skips2 = [], []
+    for _ in range(CHUNK):
+        b, s = zero_blob()
+        blobs2.append(b)
+        skips2.append(s)
+    b, s, ids = normal_blob(0)
+    blobs2.append(b)
+    skips2.append(s)
+    doc_ids2, _, _, dfs2 = decode_many(blobs2, skips2)
+    assert dfs2[:CHUNK].sum() == 0 and int(dfs2[-1]) == 2
+    assert (doc_ids2 == ids).all()

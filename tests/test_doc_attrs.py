@@ -111,3 +111,12 @@ def test_serving_allowed_arrays_match_naive_loop(spark, attrs_index):
         assert got is not None
         assert np.array_equal(got, exp), args
     assert ctx._allowed(snap, None, None, None) is None
+
+
+def test_k_zero_returns_no_hits(spark, attrs_index):
+    """k=0 means 'no hits' — the old max(1, k) clamp returned one."""
+    engine = SearchEngine(spark, attrs_index)
+    q = make_query_set()[0]["query_text"]
+    assert engine.search(q, k=0, mode="local") == []
+    assert engine.search(q, k=-3, mode="local") == []
+    assert engine.search(q, k=1, mode="local") != []

@@ -462,3 +462,77 @@ def test_ledger_invalidation_is_clock_free(spark, tmp_path):
     # record_many([]) is a no-op, not an IndexError
     led.record_many([])
     assert led.completed("fp") == {("docs.g1", 0)}
+
+
+def test_vacuum_is_an_occ_commit(spark, tmp_path):
+    """vacuum participates in optimistic concurrency like any commit:
+    (1) it ADVANCES snapshot_id, so a writer whose base snapshot predates
+    the vacuum conflicts instead of committing over the shrunk history;
+    (2) a writer that commits DURING the vacuum aborts the vacuum
+    (SnapshotConflictError) — its fresh generation dirs must survive."""
+    import os
+
+    from baram_spark.index.builder import SnapshotConflictError
+
+    out = f"{tmp_path}/vac_occ"
+    b1 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b1.build(pages_df(spark, 120, partitions=2), fingerprint="base")
+
+    # (1) vacuum advances the snapshot
+    base = b1._begin()
+    b1.vacuum(retain_snapshots=1)
+    with pytest.raises(SnapshotConflictError):
+        b1._commit_manifest([0], base_sid=base)
+
+    # (2) concurrent commit mid-vacuum aborts the vacuum
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    orig = b1._read_manifest
+    fired = {"n": 0}
+
+    def hooked():
+        m = orig()
+        if fired["n"] == 0:
+            fired["n"] = 1
+            b2.build_incremental(pages_df(spark, 220, partitions=2),
+                                 fingerprint="mid-vacuum")
+        return m
+
+    b1._read_manifest = hooked
+    with pytest.raises(SnapshotConflictError):
+        b1.vacuum(retain_snapshots=1)
+    b1._read_manifest = orig
+
+    # b2's generation survived the aborted vacuum, dirs and all
+    assert b2.committed_generations() == [0, 1]
+    assert os.path.isdir(f"{out}/docs/gen=1")
+    assert os.path.isdir(f"{out}/postings/gen=1")
+    engine = SearchEngine(spark, out)
+    assert engine._committed == [0, 1]
+    # and a CLEAN re-run of vacuum (nothing in flight) succeeds
+    b1.vacuum(retain_snapshots=1)
+    assert b1.committed_generations() == [0, 1]
+
+
+def test_fully_resumed_build_repairs_missing_doc_attrs(spark, tmp_path):
+    """A build that crashed after embeddings but before the doc_attrs
+    write must regain its attribute index on resume, even when ALL ledger
+    stages are complete (the fully-resumed early return)."""
+    import os
+    import shutil
+
+    out = f"{tmp_path}/attrs_resume"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 120, partitions=2), fingerprint="attrs-fp")
+    attrs_dir = f"{out}/doc_attrs/gen=0"
+    assert os.path.isdir(attrs_dir)
+
+    # simulate the crash window: attrs dir gone, every stage ledgered done
+    shutil.rmtree(attrs_dir)
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b2.build(pages_df(spark, 120, partitions=2), fingerprint="attrs-fp",
+             resume=True)
+    assert os.path.isdir(attrs_dir)  # repaired, not silently skipped
+    engine = SearchEngine(spark, out)
+    # the attribute index is usable again (None would mean the silent
+    # fallback to full docs scans)
+    assert engine._doc_attrs() is not None

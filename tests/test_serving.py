@@ -333,10 +333,12 @@ def test_publisher_filter(spark, server):
 def test_negative_k_and_hybrid_threshold(spark, server):
     base, out = server
     q = make_query_set()[0]["query_text"]
-    # negative k must not defeat the response cap
-    code, body = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
-                      f"&mode=bm25&k=-1")
-    assert code == 200 and body["total"] <= 1
+    # k <= 0 means "no hits" — not one hit (the old max(1, k) clamp), and
+    # a negative k must not defeat the response cap
+    for bad_k in ("-1", "0"):
+        code, body = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"
+                          f"&mode=bm25&k={bad_k}")
+        assert code == 200 and body["total"] == 0 and body["results"] == []
 
     # hybrid threshold applies to the FUSED score (mod.rs:623-624)
     code, hyb = _get(f"{base}/api/search?q={urllib.parse.quote(q)}"

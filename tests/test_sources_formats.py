@@ -413,3 +413,21 @@ def test_build_docs_preserves_chunk_text(spark, tmp_path):
         F.col("field") == "chunk_text"
     ).count()
     assert n_chunks > 0  # the third field really got postings
+
+
+def test_committed_bloom_empty_seed(spark):
+    """Seeding from a ZERO-row url relation (committed gens written from
+    an empty wave) must not crash (rdd.treeReduce raises on empty RDDs) —
+    the fresh filter is already a valid superset of zero urls."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from baram_spark.operators.bloom import CommittedUrlBloom
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("url", StringType())]))
+    b = CommittedUrlBloom.seed(empty, col="url")
+    assert b.authoritative
+    assert not b.might_contain("https://news.example.com/a/1")
+    # and it still works as a live filter afterwards
+    b.add("https://news.example.com/a/1")
+    assert b.might_contain("https://news.example.com/a/1")

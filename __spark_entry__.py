@@ -593,6 +593,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def q_ontology_triples(spark, sf_dir):
+        # rule-based ontology triple extraction (src/ontology/ analog) over
+        # the deterministic Korean press-style corpus (the sf documents
+        # table is English word-soup — the reference's patterns are
+        # Korean-press rules, so the engine's own corpus is the faithful
+        # input). Regex extraction is not SQL-expressible → rows-only
+        # driver check; semantics are pinned by tests/test_ontology.py
+        # goldens and the aggregate golden in the same file.
+        from baram_spark.corpus import ontology_docs
+        from baram_spark.operators.ontology import extract_triples
+
+        docs = ontology_docs(spark, 400, partitions=8)
+        return (
+            extract_triples(docs)
+            .groupBy("predicate", "predicate_label")
+            .agg(
+                F.count(F.lit(1)).alias("n_triples"),
+                F.countDistinct("subject").alias("n_subjects"),
+                F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+            )
+            .orderBy("predicate", "predicate_label")
+        )
+
     def q_sessionize(spark, sf_dir):
         # event-time session windows over the events table (native
         # session_window; batch mode — watermark is a no-op). Session
@@ -640,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "ontology_triples": q_ontology_triples,
     }
 
 

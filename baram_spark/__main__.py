@@ -190,12 +190,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             date_to=args.date_to, publisher=args.publisher,
         )
         if args.hybrid:
-            import os
-
+            from baram_spark.index import fs
             from baram_spark.query.hybrid import embed_docs, hybrid_search, knn_search
 
             emb_dir = f"{args.index}/embeddings"
-            if os.path.exists(emb_dir.removeprefix("file:")):
+            if fs.exists(emb_dir):
                 # build-time artifact at the COMMITTED snapshot: one
                 # parquet read, zero embedding jobs
                 from baram_spark.index.builder import read_gen_table
@@ -268,11 +267,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
             ).count(),
         }
-        import os
+        from baram_spark.index import fs
 
-        if os.path.exists(f"{idx}/deletes"):
+        if fs.exists(f"{idx}/deletes"):
             stats["pending_tombstones"] = (
-                spark.read.parquet(f"{idx}/deletes").count()
+                spark.read.parquet(fs.spark_url(f"{idx}/deletes")).count()
             )
         print(json.dumps(stats))
     elif args.cmd == "cluster":
@@ -292,9 +291,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         report["merge"] = b.merge_generations()
         report["vacuum"] = b.vacuum(retain_snapshots=args.retain_snapshots)
         if not args.skip_cluster:
-            import os
+            from baram_spark.index import fs
 
-            if os.path.exists(f"{idx}/embeddings"):
+            if fs.exists(f"{idx}/embeddings"):
                 n, out = _run_cluster(spark, idx, args.threshold,
                                       args.min_size, None)
                 report["cluster"] = {"clusters": n, "out": out}

@@ -280,3 +280,74 @@ def make_query_set() -> list[dict]:
         {"query_id": qid, "query_text": q, "k": 10}
         for qid, q in enumerate(queries)
     ]
+
+
+# -- deterministic Korean NEWS-style corpus (ontology extraction input) ------
+# The pages corpus above is Zipf syllable soup (built for BM25/indexing);
+# the ontology rule patterns (operators/ontology.py, mirroring
+# /root/reference/src/ontology/extractor.rs:896-1056) need press-style
+# sentences. Vocabulary chosen to EXERCISE the pattern tables; composition
+# is index-deterministic (no RNG) so every run yields identical triples.
+_ONT_NAMES = ("김수종", "박민재", "이서연", "정하늘", "최은우", "한지민",
+              "윤도현", "강태오")
+_ONT_ORGS = ("한빛전자", "미래그룹", "두리은행", "새봄증권", "크래프트테크",
+             "한솔건설")
+_ONT_PARTIES = ("국민의힘", "더불어민주당", "정의당", "진보당")
+_ONT_MINISTRIES = ("기획재정부", "외교부", "국방부", "환경부")
+# each template triggers a specific relation pattern AND keeps its
+# subject/object entity-validatable (extractor.rs:1714-1733); 14 of the
+# 16 relation types are reachable — Founded/RelatedTo cannot pass the
+# reference's own validation rules from press-style sentences
+_ONT_SENTENCES = (
+    "{name} 씨가 현장을 찾았다.",
+    "{name} {org} 사장이 신제품 출시 계획을 밝혔다.",       # WorksFor
+    "{org} {name2} 부사장이 실적을 공개했다.",              # WorksFor (swap)
+    "{party} {name} 의원이 기자회견을 열었다.",             # MemberOf
+    "{name} {ministry} 장관이 회의를 주재했다.",            # Leads
+    "윤도현 대통령은 순방길에 올랐다.",                     # Leads
+    "{name} 미래그룹 회장이 인사를 단행했다.",              # Leads
+    "{party}은 {ministry}를 비판했다.",                     # Criticized
+    "더불어민주당은 {ministry}에 반대했다.",                # Opposed
+    "야당은 {ministry}을 지지했다.",                        # Supported
+    "정부가 부동산대책을 발표했다.",                        # Announced
+    "{org}이 {org2}를 인수했다.",                           # Acquired
+    "{org}은 {org2}와 합병하기로 했다.",                    # MergedWith
+    '{name} 대표는 "{org} 제품 수요가 빠르게 늘고 있다"라고 말했다.',  # Said
+    "서울 강남구에서 협약식이 열렸다.",                     # LocatedIn
+    "{org}이 {org2}에 1,200억 원을 투자했다.",              # InvestedIn
+    "한국이 미국과 협력하기로 했다.",                       # Supported
+    "미국이 {ministry}협의에 참여했다.",                    # ParticipatedIn
+    "미래그룹 계열사인 한빛전자가 지지율을 35.2% 끌어올렸다.",  # Owns
+)
+
+
+def ontology_docs(spark, n_docs: int, partitions: int = 8):
+    """(doc_id, title, text) of deterministic Korean press-style articles;
+    doc i's sentences are index-rotations of the template bank, so the
+    extracted triple set is a pure function of n_docs."""
+    import pandas as pd
+
+    def render(i: int, j: int) -> str:
+        t = _ONT_SENTENCES[(i + j) % len(_ONT_SENTENCES)]
+        return t.format(
+            name=_ONT_NAMES[(i + j) % len(_ONT_NAMES)],
+            name2=_ONT_NAMES[(i + j + 1) % len(_ONT_NAMES)],
+            org=_ONT_ORGS[(i + j) % len(_ONT_ORGS)],
+            org2=_ONT_ORGS[(i + j + 1) % len(_ONT_ORGS)],
+            party=_ONT_PARTIES[(i + j) % len(_ONT_PARTIES)],
+            ministry=_ONT_MINISTRIES[(i + j) % len(_ONT_MINISTRIES)],
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "title": [render(i, 0) for i in ids],
+                "text": [" ".join(render(i, j) for j in range(1, 6))
+                         for i in ids],
+            })
+
+    return spark.range(0, n_docs, 1, partitions).mapInPandas(
+        gen, schema="doc_id long, title string, text string"
+    )

@@ -44,6 +44,8 @@ from .build import (
     shard_expr,
     tokenize_docs,
 )
+from . import fs
+from .fs import spark_url as _sp
 from .lineage import LineageLedger, StageTimer
 
 GEN_META_SCHEMA = (
@@ -57,18 +59,8 @@ _GEN_TABLES = ("docs", "doc_terms", "postings", "embeddings", "doc_attrs")
 def committed_gens(index_dir: str) -> list[int] | None:
     """Generations listed by ``_manifest.json``, or None when the index
     predates manifests (callers fall back to a directory listing)."""
-    import json
-    import os
-
-    p = os.path.join(index_dir.rstrip("/").removeprefix("file:"),
-                     "_manifest.json")
-    if not os.path.exists(p):
-        return None
-    try:
-        with open(p) as f:
-            gens = json.load(f).get("generations")
-    except Exception:
-        return None
+    m = fs.read_json(f"{index_dir.rstrip('/')}/_manifest.json")
+    gens = (m or {}).get("generations")
     return sorted(int(g) for g in gens) if gens is not None else None
 
 
@@ -118,14 +110,10 @@ def index_n_shards(index_dir: str, default: int = 8) -> int:
     with this value — merging with a different n_shards would silently
     re-shard the layout out from under ``index_meta`` and the engine's
     filter-cogroup shard math."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    meta = f"{index_dir.rstrip('/')}/index_meta".removeprefix("file:")
-    if os.path.exists(meta):
+    meta = f"{index_dir.rstrip('/')}/index_meta"
+    if fs.exists(meta):
         try:
-            t = pq.read_table(meta, columns=["n_shards"])
+            t = fs.read_parquet(meta, columns=["n_shards"])
             if t.num_rows:
                 return int(t["n_shards"][0].as_py())
         except Exception:
@@ -141,8 +129,6 @@ def read_gen_table(spark: SparkSession, index_dir: str, table: str,
     pinned readers alive), so any consumer that reads a whole table dir —
     CLI stats/cluster, hybrid search, dedup prefilters — must go through
     the manifest's generation list or it double-counts merged docs."""
-    import os
-
     base = f"{index_dir.rstrip('/')}/{table}"
     if gens is None:
         gens = committed_gens(index_dir)
@@ -153,13 +139,15 @@ def read_gen_table(spark: SparkSession, index_dir: str, table: str,
         # which may hold retained superseded generations.
         dirs = [
             f"{base}/gen={g}" for g in gens
-            if os.path.exists(f"{base}/gen={g}".removeprefix("file:"))
+            if fs.exists(f"{base}/gen={g}")
         ]
         if dirs:
-            return spark.read.option("basePath", base).parquet(*dirs)
-        if os.path.exists(base.removeprefix("file:")):
-            return spark.read.parquet(base).filter(F.lit(False))
-    return spark.read.parquet(base)
+            return spark.read.option("basePath", _sp(base)).parquet(
+                *[_sp(d) for d in dirs]
+            )
+        if fs.exists(base):
+            return spark.read.parquet(_sp(base)).filter(F.lit(False))
+    return spark.read.parquet(_sp(base))
 
 
 class SnapshotConflictError(RuntimeError):
@@ -254,9 +242,7 @@ class IndexBuilder:
         return f"{self.out}/doc_attrs"
 
     def _exists(self, path: str) -> bool:
-        import os
-
-        return os.path.exists(path.removeprefix("file:"))
+        return fs.exists(path)
 
     # -- versioned stats (MVCC for the small global tables) ---------------
     # corpus_stats / gen_meta / term_stats are rewritten by every build;
@@ -267,15 +253,11 @@ class IndexBuilder:
     # never treats versions as partitions of one table.
     @staticmethod
     def _latest_version(base: str) -> int | None:
-        import os
         import re
 
-        local = base.removeprefix("file:")
-        if not os.path.exists(local):
-            return None
         vs = [
             int(m.group(1))
-            for d in os.listdir(local)
+            for d in fs.listdir(base)
             if (m := re.match(r"v_(\d+)$", d))
         ]
         return max(vs) if vs else None
@@ -316,12 +298,12 @@ class IndexBuilder:
             # to full docs scans)
             if not self._exists(f"{self.doc_attrs_path}/gen={gen}"):
                 on_disk = self.spark.read.parquet(
-                    f"{self.docs_path}/gen={gen}")
+                    _sp(f"{self.docs_path}/gen={gen}"))
                 self._stage_doc_attrs(on_disk, gen)
             return
         if docs_done:
             # docs already on disk: finish the missing stages from parquet
-            on_disk = self.spark.read.parquet(f"{self.docs_path}/gen={gen}")
+            on_disk = self.spark.read.parquet(_sp(f"{self.docs_path}/gen={gen}"))
             if not terms_done:
                 self._stage_tokenize_from(
                     on_disk, gen, stage_terms, fingerprint, metrics
@@ -353,7 +335,7 @@ class IndexBuilder:
                                 obs_docs, F.count(F.lit(1)).alias("rows")
                             )
                             .write.mode("overwrite")
-                            .parquet(f"{self.docs_path}/gen={gen}")
+                            .parquet(_sp(f"{self.docs_path}/gen={gen}"))
                         )
                     except Exception as e:  # surfaced below
                         errs.append(e)
@@ -454,7 +436,7 @@ class IndexBuilder:
                 .observe(obs, *obs_aggs)
                 .write.mode("overwrite")
                 .partitionBy("shard")
-                .parquet(f"{self.doc_terms_path}/gen={gen}")
+                .parquet(_sp(f"{self.doc_terms_path}/gen={gen}"))
             )
             got = obs.get
             n_out = int(got["rows"])
@@ -494,7 +476,7 @@ class IndexBuilder:
             .repartition(max(self.n_shards // 4, 1))
             .sortWithinPartitions("category", "publisher", "published_at")
             .write.mode("overwrite")
-            .parquet(f"{self.doc_attrs_path}/gen={gen}")
+            .parquet(_sp(f"{self.doc_attrs_path}/gen={gen}"))
         )
 
     def _stage_embeddings(self, docs, gen, stage, fingerprint) -> None:
@@ -507,7 +489,7 @@ class IndexBuilder:
             (
                 embed_docs(docs, embed_fn=self.embed_fn)
                 .write.mode("overwrite")
-                .parquet(f"{self.embeddings_path}/gen={gen}")
+                .parquet(_sp(f"{self.embeddings_path}/gen={gen}"))
             )
         self.ledger.record(stage, 0, fingerprint, 0, 0, t.seconds)
 
@@ -533,7 +515,7 @@ class IndexBuilder:
         prior: dict[tuple[int, str], tuple[int, int, float]] = {}
         gm_read = self._latest_stats_dir(self.gen_meta_path)
         if self._exists(gm_read):
-            for r in self.spark.read.parquet(gm_read).collect():
+            for r in self.spark.read.parquet(_sp(gm_read)).collect():
                 if (r["gen"] != gen and int(r["gen"]) not in drop
                         and int(r["gen"]) in committed):
                     prior[(r["gen"], r["field"])] = (
@@ -597,7 +579,7 @@ class IndexBuilder:
 
         Resume fallback: the fresh-build path computes the plan concurrently
         with extract (_salt_plan_from_docs); this reads doc_terms instead."""
-        doc_terms = self.spark.read.parquet(f"{self.doc_terms_path}/gen={gen}")
+        doc_terms = self.spark.read.parquet(_sp(f"{self.doc_terms_path}/gen={gen}"))
         frac = 0.05
         sample_counts = (
             doc_terms.sample(fraction=frac, seed=42)
@@ -638,7 +620,7 @@ class IndexBuilder:
         avgdl_by_field = {
             r["field"]: float(r["avgdl"])
             for r in self.spark.read.parquet(
-                self._latest_stats_dir(self.corpus_stats_path)
+                _sp(self._latest_stats_dir(self.corpus_stats_path))
             ).collect()
         }
         if self.shuffle_mode == "rows":
@@ -660,8 +642,9 @@ class IndexBuilder:
         def build_group(shard_ids: list[int]) -> int:
             t0 = time.time()
             shard_terms = (
-                self.spark.read.option("basePath", gen_doc_terms)
-                .parquet(*[f"{gen_doc_terms}/shard={k}" for k in shard_ids])
+                self.spark.read.option("basePath", _sp(gen_doc_terms))
+                .parquet(*[_sp(f"{gen_doc_terms}/shard={k}")
+                           for k in shard_ids])
             )
             # the LAST exchange inside build_postings is keyed on
             # (shard, term) at this partition count — the write needs no
@@ -685,7 +668,7 @@ class IndexBuilder:
                 )
                 .write.mode("overwrite")
                 .partitionBy("shard")
-                .parquet(gen_postings)
+                .parquet(_sp(gen_postings))
             )
             dt = time.time() - t0
             got = obs.get
@@ -742,23 +725,13 @@ class IndexBuilder:
                 .agg(F.sum("df").alias("df"))
                 .sort("term")
                 .write.mode("overwrite")
-                .parquet(self._next_stats_dir(self.term_stats_path))
+                .parquet(_sp(self._next_stats_dir(self.term_stats_path)))
             )
         self.ledger.record(stage, part, fingerprint, 0, 0, t.seconds)
         metrics["term_stats_seconds"] = t.seconds
 
     def _read_manifest(self) -> dict | None:
-        import json
-        import os
-
-        p = os.path.join(self.out.removeprefix("file:"), "_manifest.json")
-        if not os.path.exists(p):
-            return None
-        try:
-            with open(p) as f:
-                return json.load(f)
-        except Exception:
-            return None
+        return fs.read_json(f"{self.out}/_manifest.json")
 
     def committed_generations(self) -> list[int]:
         """The snapshot's generation list — from the manifest when one
@@ -775,23 +748,17 @@ class IndexBuilder:
     def _next_gen(self) -> int:
         """First generation number unused by ANY on-disk dir or gen_meta
         row — never reuses a number a pinned reader might still resolve."""
-        import os
-
         used = set()
         for t in _GEN_TABLES:
-            base = f"{self.out}/{t}".removeprefix("file:")
-            if os.path.isdir(base):
-                used.update(
-                    int(d.split("=")[1]) for d in os.listdir(base)
-                    if d.startswith("gen=")
-                )
-        gm = self._latest_stats_dir(self.gen_meta_path).removeprefix("file:")
-        if os.path.exists(gm):
-            import pyarrow.parquet as pq
-
+            used.update(
+                int(d.split("=")[1]) for d in fs.listdir(f"{self.out}/{t}")
+                if d.startswith("gen=")
+            )
+        gm = self._latest_stats_dir(self.gen_meta_path)
+        if fs.exists(gm):
             try:
                 used.update(
-                    int(g) for g in pq.read_table(gm, columns=["gen"])
+                    int(g) for g in fs.read_parquet(gm, columns=["gen"])
                     ["gen"].to_pylist()
                 )
             except Exception:
@@ -815,8 +782,6 @@ class IndexBuilder:
         writer's in-flight staging — are reclaimed only by ``vacuum``,
         when the caller knows nothing is pinned or in flight."""
         import json
-        import os
-        import shutil
         import uuid
 
         prev = self._read_manifest()
@@ -854,12 +819,10 @@ class IndexBuilder:
             v = self._latest_version(base)
             if v is not None:
                 m[f"{name}_v"] = v
-        local_dir = self.out.removeprefix("file:")
-        os.makedirs(local_dir, exist_ok=True)
-        tmp = os.path.join(local_dir, f"._manifest.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.rename(tmp, os.path.join(local_dir, "_manifest.json"))
+        fs.makedirs(self.out)
+        tmp = f"{self.out}/._manifest.{uuid.uuid4().hex}.tmp"
+        fs.write_text(tmp, json.dumps(m))
+        fs.rename(tmp, f"{self.out}/_manifest.json")
         # GC stats versions no snapshot can reference: keep the committed
         # version plus ONE predecessor (engines pinned to the previous
         # manifest may still lazily read their term_stats).
@@ -867,17 +830,13 @@ class IndexBuilder:
 
         for base in (self.corpus_stats_path, self.gen_meta_path,
                      self.term_stats_path):
-            local = base.removeprefix("file:")
-            if not os.path.exists(local):
-                continue
             vs = sorted(
                 int(mt.group(1))
-                for d in os.listdir(local)
+                for d in fs.listdir(base)
                 if (mt := re.match(r"v_(\d+)$", d))
             )
             for v in vs[:-2]:
-                shutil.rmtree(os.path.join(local, f"v_{v}"),
-                              ignore_errors=True)
+                fs.rmtree(f"{base}/v_{v}")
         # GC at commit reclaims ONLY generations that just fell out of the
         # retained history (superseded by merge/compact and past retention).
         # Never-referenced dirs are left alone: they are either crashed
@@ -897,26 +856,15 @@ class IndexBuilder:
     def _gc_gen_dirs(self, referenced: set[int]) -> None:
         """Remove EVERY gen dir not in ``referenced`` — including crashed
         partial gens. Only safe from :meth:`vacuum` (no writer in flight)."""
-        import os
-
         for t in _GEN_TABLES:
-            base = f"{self.out}/{t}".removeprefix("file:")
-            if not os.path.isdir(base):
-                continue
-            for d in os.listdir(base):
+            base = f"{self.out}/{t}"
+            for d in fs.listdir(base):
                 if d.startswith("gen=") and int(d.split("=")[1]) not in referenced:
-                    import shutil
-
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                    fs.rmtree(f"{base}/{d}")
 
     def _remove_gen_dirs(self, gen: int) -> None:
-        import os
-        import shutil
-
         for t in _GEN_TABLES:
-            p = f"{self.out}/{t}/gen={gen}".removeprefix("file:")
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
+            fs.rmtree(f"{self.out}/{t}/gen={gen}")
 
     def vacuum(self, retain_snapshots: int = 1) -> dict:
         """Expire old snapshots NOW (the Iceberg expire_snapshots analog):
@@ -925,7 +873,6 @@ class IndexBuilder:
         Call when the operator knows no reader is pinned past the window
         (e.g. right after a maintenance merge, before re-serving)."""
         import json
-        import os
         import uuid
 
         m = self._read_manifest()
@@ -949,19 +896,17 @@ class IndexBuilder:
         })
         m["history"] = history
         m["snapshot_id"] = sid
-        local_dir = self.out.removeprefix("file:")
-        tmp = os.path.join(local_dir, f"._manifest.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(m, f)
+        tmp = f"{self.out}/._manifest.{uuid.uuid4().hex}.tmp"
+        fs.write_text(tmp, json.dumps(m))
         cur = self._read_manifest()
         if int((cur or {}).get("snapshot_id", 0)) != base_sid:
-            os.remove(tmp)
+            fs.remove(tmp)
             raise SnapshotConflictError(
                 f"snapshot advanced {base_sid} → "
                 f"{int((cur or {}).get('snapshot_id', 0))} during vacuum; "
                 f"re-run vacuum against the new snapshot"
             )
-        os.rename(tmp, os.path.join(local_dir, "_manifest.json"))
+        fs.rename(tmp, f"{self.out}/_manifest.json")
         self._gc_gen_dirs(referenced)
         return {"removed_gens": sorted(before - referenced)}
 
@@ -1026,7 +971,7 @@ class IndexBuilder:
                 (
                     prepared.observe(obs, F.count(F.lit(1)).alias("rows"))
                     .write.mode("overwrite")
-                    .parquet(f"{self.docs_path}/gen={gen}")
+                    .parquet(_sp(f"{self.docs_path}/gen={gen}"))
                 )
             n_out = int(obs.get["rows"])
             self.ledger.record("docs", 0, fingerprint, 0, n_out, t.seconds)
@@ -1097,7 +1042,7 @@ class IndexBuilder:
         gen_dir = f"{self.docs_path}/gen={gen}"
         if not committed or not self._exists(gen_dir):
             return False
-        staged = self.spark.read.parquet(gen_dir).select("url")
+        staged = self.spark.read.parquet(_sp(gen_dir)).select("url")
         known = read_gen_table(
             self.spark, self.out, "docs", gens=committed
         ).select("url")
@@ -1187,12 +1132,7 @@ class IndexBuilder:
         ):
             # nothing new in this wave: drop the empty generation dir and
             # record the no-op (the anti-join prefilter did its job)
-            import shutil
-
-            shutil.rmtree(
-                f"{self.docs_path}/gen={gen}".removeprefix("file:"),
-                ignore_errors=True,
-            )
+            fs.rmtree(f"{self.docs_path}/gen={gen}")
             metrics["postings_built"] = 0
             self._commit_manifest(committed_before, base_sid=base_sid)
             return metrics
@@ -1206,15 +1146,10 @@ class IndexBuilder:
     # -- deletion (delete_by_query analog, mod.rs:768-818) -----------------
     def deleted_ids(self) -> list[int]:
         """Current tombstone set (sorted doc_ids)."""
-        import os
-
-        local = self.deletes_path.removeprefix("file:")
-        if not os.path.exists(local):
+        if not fs.exists(self.deletes_path):
             return []
-        import pyarrow.parquet as pq
-
         try:
-            tbl = pq.read_table(local)
+            tbl = fs.read_parquet(self.deletes_path)
         except Exception:
             return []
         return sorted(set(tbl["doc_id"].to_pylist()))
@@ -1271,8 +1206,6 @@ class IndexBuilder:
         behind under dynamic partition overwrite, and (b) readers pinned to
         the previous snapshot keep their gen dirs until GC retention
         expires them."""
-        import os
-        import shutil
         import time as _time
 
         base_sid = self._begin()
@@ -1290,7 +1223,7 @@ class IndexBuilder:
         new_committed = list(committed)
         for gen in committed:
             gen_dir = f"{self.docs_path}/gen={gen}"
-            docs_gen = self.spark.read.parquet(gen_dir)
+            docs_gen = self.spark.read.parquet(_sp(gen_dir))
             if docs_gen.join(del_df, "doc_id", "left_semi").isEmpty():
                 continue
             kept = docs_gen.join(del_df, "doc_id", "left_anti")
@@ -1306,9 +1239,9 @@ class IndexBuilder:
             g2 = next_gen
             next_gen += 1
             kept.write.mode("overwrite").parquet(
-                f"{self.docs_path}/gen={g2}"
+                _sp(f"{self.docs_path}/gen={g2}")
             )
-            kept_disk = self.spark.read.parquet(f"{self.docs_path}/gen={g2}")
+            kept_disk = self.spark.read.parquet(_sp(f"{self.docs_path}/gen={g2}"))
             self._stage_tokenize_from(
                 kept_disk, g2, f"doc_terms.g{g2}", fp, {}, drop_gens={gen},
                 # replacement gens staged EARLIER in this same compaction
@@ -1320,10 +1253,10 @@ class IndexBuilder:
             emb_dir = f"{self.embeddings_path}/gen={gen}"
             if self._exists(emb_dir):
                 (
-                    self.spark.read.parquet(emb_dir)
+                    self.spark.read.parquet(_sp(emb_dir))
                     .join(del_df, "doc_id", "left_anti")
                     .write.mode("overwrite")
-                    .parquet(f"{self.embeddings_path}/gen={g2}")
+                    .parquet(_sp(f"{self.embeddings_path}/gen={g2}"))
                 )
             new_committed.append(g2)
             result["new_gens"].append(g2)
@@ -1334,9 +1267,7 @@ class IndexBuilder:
         # commit FIRST: a crash before the manifest swap must leave the
         # old snapshot live WITH its tombstones still excluding docs
         self._commit_manifest(new_committed, base_sid=base_sid)
-        shutil.rmtree(
-            self.deletes_path.removeprefix("file:"), ignore_errors=True
-        )
+        fs.rmtree(self.deletes_path)
         return result
 
     def merge_generations(self, fingerprint: str | None = None) -> dict:
@@ -1355,7 +1286,6 @@ class IndexBuilder:
         the previous snapshot fully live, and readers pinned to it keep
         their gen dirs until GC retention (or an explicit :meth:`vacuum`)
         expires them. No data dir is ever removed before the commit."""
-        import shutil
         import time as _time
 
         base_sid = self._begin()
@@ -1377,9 +1307,9 @@ class IndexBuilder:
             )
             docs = docs.join(del_df, "doc_id", "left_anti")
         docs.write.mode("overwrite").parquet(
-            f"{self.docs_path}/gen={new_gen}"
+            _sp(f"{self.docs_path}/gen={new_gen}")
         )
-        merged = self.spark.read.parquet(f"{self.docs_path}/gen={new_gen}")
+        merged = self.spark.read.parquet(_sp(f"{self.docs_path}/gen={new_gen}"))
         # retire EVERY other gen_meta row (stale rows from crashed builds
         # included) — the merged gen is the whole corpus by definition
         old_meta_gens = set()
@@ -1387,7 +1317,7 @@ class IndexBuilder:
         if self._exists(gm_read):
             old_meta_gens = {
                 int(r["gen"])
-                for r in self.spark.read.parquet(gm_read)
+                for r in self.spark.read.parquet(_sp(gm_read))
                 .select("gen").distinct().collect()
             }
         self._stage_tokenize_from(merged, new_gen, f"doc_terms.{fp}", fp, {},
@@ -1405,26 +1335,19 @@ class IndexBuilder:
             if del_df is not None:
                 emb = emb.join(del_df, "doc_id", "left_anti")
             emb.write.mode("overwrite").parquet(
-                f"{self.embeddings_path}/gen={new_gen}"
+                _sp(f"{self.embeddings_path}/gen={new_gen}")
             )
         self._stage_term_stats(f"term_stats.{fp}", fp, set(), {},
                                gens=[new_gen])
         self._commit_manifest([new_gen], base_sid=base_sid)
-        shutil.rmtree(
-            self.deletes_path.removeprefix("file:"), ignore_errors=True
-        )
+        fs.rmtree(self.deletes_path)
         return {"merged_gens": gens, "new_gen": new_gen,
                 "tombstones_applied": len(deleted),
                 "docs": merged.count()}
 
     def generations(self) -> list[int]:
-        import os
-
-        base = self.postings_path.removeprefix("file:")
-        if not os.path.exists(base):
-            return []
         return sorted(
             int(d.split("=")[1])
-            for d in os.listdir(base)
+            for d in fs.listdir(self.postings_path)
             if d.startswith("gen=")
         )

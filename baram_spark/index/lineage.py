@@ -16,15 +16,15 @@ directory back for resume checks and metrics queries.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 from datetime import datetime
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from pyspark.sql import SparkSession, functions as F
+
+from . import fs
 
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, fingerprint string, rows_in long, "
@@ -47,17 +47,15 @@ _ARROW_SCHEMA = pa.schema(
 
 def write_small_parquet(path: str, table: pa.Table, overwrite: bool = False):
     """Driver-side parquet write for tiny tables (no Spark job): atomic via
-    tmp + rename; ``overwrite`` clears the directory first."""
-    local = path.removeprefix("file:")
-    if overwrite and os.path.exists(local):
-        import shutil
-
-        shutil.rmtree(local)
-    os.makedirs(local, exist_ok=True)
+    tmp + rename (through the fs abstraction, so the ledger works on any
+    pyarrow.fs store); ``overwrite`` clears the directory first."""
+    if overwrite and fs.exists(path):
+        fs.rmtree(path)
+    fs.makedirs(path)
     name = f"part-{uuid.uuid4().hex}.parquet"
-    tmp = os.path.join(local, f".{name}.tmp")
-    pq.write_table(table, tmp)
-    os.rename(tmp, os.path.join(local, name))
+    tmp = f"{path}/.{name}.tmp"
+    fs.write_parquet_file(tmp, table)
+    fs.rename(tmp, f"{path}/{name}")
 
 
 class LineageLedger:
@@ -66,12 +64,11 @@ class LineageLedger:
         self.path = path
 
     def read(self):
-        local = self.path.removeprefix("file:")
-        if not os.path.exists(local) or not any(
-            f.endswith(".parquet") for f in os.listdir(local)
+        if not any(
+            f.endswith(".parquet") for f in fs.listdir(self.path)
         ):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(fs.spark_url(self.path))
 
     #: stage-name prefix of an invalidation TOMBSTONE row: each such row
     #: cancels ONE completion record of the same (stage, partition_id).

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import numpy as np
 
+from ..index import fs
+from ..index.fs import spark_url as _sp
 from ..textproc.analyzer import analyze_search
 from .bm25 import DEFAULT_K, FIELD_BOOSTS, FIELDS, idf
 from .wand import TermPostings, score_blockmax, score_exhaustive
@@ -59,20 +61,20 @@ class SearchEngine:
         self.corpus_stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
             for r in spark.read.parquet(
-                self._stats_path("corpus_stats")
+                _sp(self._stats_path("corpus_stats"))
             ).collect()
         }
         post_dir = f"{self.index_dir}/postings"
         self._postings = self._gen_read(post_dir)
-        self._term_stats = spark.read.parquet(self._stats_path("term_stats"))
+        self._term_stats = spark.read.parquet(
+            _sp(self._stats_path("term_stats")))
         self._has_gens = "gen" in self._postings.columns
         # block-max bound correction per (gen, field): avgdl_now/avgdl_pack
         # capped below at 1 (see wand.TermPostings)
         self._bound_factor: dict = {}
-        import os
         gm_path = self._stats_path("gen_meta")
-        if self._has_gens and os.path.exists(gm_path.removeprefix("file:")):
-            for r in spark.read.parquet(gm_path).collect():
+        if self._has_gens and fs.exists(gm_path):
+            for r in spark.read.parquet(_sp(gm_path)).collect():
                 _, avgdl_now = self.corpus_stats.get(r["field"], (0, 0.0))
                 pack = float(r["avgdl_pack"]) or avgdl_now
                 self._bound_factor[(int(r["gen"]), r["field"])] = max(
@@ -110,19 +112,7 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _load_manifest(self) -> dict | None:
-        import json
-        import os
-
-        p = os.path.join(
-            self.index_dir.removeprefix("file:"), "_manifest.json"
-        )
-        if not os.path.exists(p):
-            return None
-        try:
-            with open(p) as f:
-                return json.load(f)
-        except Exception:
-            return None
+        return fs.read_json(f"{self.index_dir}/_manifest.json")
 
     def _manifest_gens(self) -> list[int] | None:
         """Generations listed by the builder's snapshot manifest, or None
@@ -137,36 +127,33 @@ class SearchEngine:
     def _stats_path(self, name: str) -> str:
         """Resolve a small stats table to its committed version (manifest),
         else the newest on-disk version, else the bare pre-versioning dir."""
-        import os
         import re
 
         base = f"{self.index_dir}/{name}"
         v = (self._manifest or {}).get(f"{name}_v")
         if v is not None:
             cand = f"{base}/v_{int(v)}"
-            if os.path.exists(cand.removeprefix("file:")):
+            if fs.exists(cand):
                 return cand
-        local = base.removeprefix("file:")
-        if os.path.exists(local):
-            vs = [
-                int(m.group(1))
-                for d in os.listdir(local)
-                if (m := re.match(r"v_(\d+)$", d))
-            ]
-            if vs:
-                return f"{base}/v_{max(vs)}"
+        vs = [
+            int(m.group(1))
+            for d in fs.listdir(base)
+            if (m := re.match(r"v_(\d+)$", d))
+        ]
+        if vs:
+            return f"{base}/v_{max(vs)}"
         return base
 
     def _gen_read(self, d: str) -> DataFrame:
         """Read a gen-partitioned table at the committed snapshot; an
         empty committed list is an EMPTY relation, not a whole-dir read."""
         if self._committed is None:
-            return self.spark.read.parquet(d)
+            return self.spark.read.parquet(_sp(d))
         if self._committed:
-            return self.spark.read.option("basePath", d).parquet(
-                *[f"{d}/gen={g}" for g in self._committed]
+            return self.spark.read.option("basePath", _sp(d)).parquet(
+                *[_sp(f"{d}/gen={g}") for g in self._committed]
             )
-        return self.spark.read.parquet(d).filter(F.lit(False))
+        return self.spark.read.parquet(_sp(d)).filter(F.lit(False))
 
     def _docs(self) -> DataFrame:
         return self._gen_read(f"{self.index_dir}/docs")
@@ -174,31 +161,24 @@ class SearchEngine:
     def _detect_n_shards(self) -> int:
         """n_shards from index_meta (written by the builder), falling back
         to listing the postings shard directories."""
-        import os
-
         meta = f"{self.index_dir}/index_meta"
-        if os.path.exists(meta.removeprefix("file:")):
-            rows = self.spark.read.parquet(meta).collect()
+        if fs.exists(meta):
+            rows = self.spark.read.parquet(_sp(meta)).collect()
             if rows:
                 return int(rows[0]["n_shards"])
-        base = f"{self.index_dir}/postings".removeprefix("file:")
-        shards = set()
-        for _root, dirs, _files in os.walk(base):
-            for d in dirs:
-                if d.startswith("shard="):
-                    shards.add(int(d.split("=", 1)[1]))
+        shards = {
+            int(d.split("=", 1)[1])
+            for d in fs.walk_dir_names(f"{self.index_dir}/postings")
+            if d.startswith("shard=")
+        }
         return (max(shards) + 1) if shards else 1
 
     def _load_denied(self):
-        import os
-
-        local = f"{self.index_dir}/deletes".removeprefix("file:")
-        if not os.path.exists(local):
+        deletes = f"{self.index_dir}/deletes"
+        if not fs.exists(deletes):
             return None
-        import pyarrow.parquet as pq
-
         try:
-            ids = pq.read_table(local)["doc_id"].to_numpy()
+            ids = fs.read_parquet(deletes)["doc_id"].to_numpy()
         except Exception:
             return None
         if ids.size == 0:
@@ -210,24 +190,21 @@ class SearchEngine:
         published_at), sorted by the filter keys so min-max row-group
         pruning skips non-matching groups — the index-time keyword/date
         field analog (mod.rs:237-330). None on pre-attrs layouts."""
-        import os
-
         d = f"{self.index_dir}/doc_attrs"
-        if not os.path.exists(d.removeprefix("file:")):
+        if not fs.exists(d):
             return None
         if self._committed:
             dirs = [f"{d}/gen={g}" for g in self._committed]
-            if not all(
-                os.path.exists(p.removeprefix("file:")) for p in dirs
-            ):
+            if not all(fs.exists(p) for p in dirs):
                 # mixed layout (e.g. pre-attrs gens next to new waves):
                 # a partial attribute index would silently DROP candidates
                 # from the uncovered generations — fall back to docs
                 return None
-            return self.spark.read.option("basePath", d).parquet(*dirs)
+            return self.spark.read.option("basePath", _sp(d)).parquet(
+                *[_sp(p) for p in dirs])
         if self._committed is not None:  # empty snapshot: empty attrs
-            return self.spark.read.parquet(d).filter(F.lit(False))
-        return self.spark.read.parquet(d)
+            return self.spark.read.parquet(_sp(d)).filter(F.lit(False))
+        return self.spark.read.parquet(_sp(d))
 
     def _allowed_docs(self, category, date_from, date_to, publisher=None):
         """Filter-context candidate set (doc_id, shard) — the reference's
@@ -303,10 +280,12 @@ class SearchEngine:
         import pyarrow.dataset as ds
 
         if self._pa_ds is None:
+            pa_fs, pa_path = fs.resolve(f"{self.index_dir}/postings")
             self._pa_ds = ds.dataset(
-                f"{self.index_dir}/postings".removeprefix("file:"),
+                pa_path,
                 format="parquet",
                 partitioning="hive",
+                filesystem=pa_fs,
             )
         names = set(self._pa_ds.schema.names)
         filt = ds.field("term").isin(terms) & ds.field("field").isin(

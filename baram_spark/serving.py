@@ -60,17 +60,19 @@ class _Snapshot:
                  "publisher_ids", "pub", "pub_ids", "events")
 
     def __init__(self, spark, index_dir: str):
-        import os
-
         import pyarrow.dataset as ds
 
+        from .index import fs
+
         self.engine = SearchEngine(spark, index_dir, preload=True)
-        local = index_dir.rstrip("/").removeprefix("file:")
+        base = index_dir.rstrip("/")
         cols = ["doc_id", "oid", "aid", "title", "text", "category",
                 "publisher", "url", "published_at"]
         committed = self.engine._committed  # snapshot manifest, if present
+        docs_fs, docs_path = fs.resolve(f"{base}/docs")
         docs_ds = ds.dataset(
-            f"{local}/docs", format="parquet", partitioning="hive"
+            docs_path, format="parquet", partitioning="hive",
+            filesystem=docs_fs,
         )
         gen_filter = (
             ds.field("gen").isin(committed)
@@ -123,10 +125,11 @@ class _Snapshot:
 
         self.emb_ids = None
         self.emb = None
-        emb_dir = f"{local}/embeddings"
-        if os.path.exists(emb_dir):
-            emb_ds = ds.dataset(emb_dir, format="parquet",
-                                partitioning="hive")
+        emb_dir = f"{base}/embeddings"
+        if fs.exists(emb_dir):
+            emb_fs, emb_path = fs.resolve(emb_dir)
+            emb_ds = ds.dataset(emb_path, format="parquet",
+                                partitioning="hive", filesystem=emb_fs)
             # same committed-generation filter as docs — a compaction/merge
             # retires an embedding gen with its doc gen, so deleted docs'
             # vectors never re-enter knn/hybrid ranking
@@ -147,17 +150,17 @@ class _Snapshot:
         # event clusters (the clusters.json analog, written by the
         # `cluster` subcommand) — small, resident, served by /api/events
         self.events: list[dict] = []
-        ev_dir = f"{local}/clusters"
-        if os.path.isdir(ev_dir):
-            import glob
-
-            for p in sorted(glob.glob(f"{ev_dir}/part-*.json")
-                            + glob.glob(f"{ev_dir}/part-*.txt")):
-                with open(p, encoding="utf-8") as f:
-                    for line in f:
-                        line = line.strip()
-                        if line:
-                            self.events.append(json.loads(line))
+        ev_dir = f"{base}/clusters"
+        if fs.isdir(ev_dir):
+            names = sorted(
+                n for n in fs.listdir(ev_dir)
+                if n.startswith("part-") and n.endswith((".json", ".txt"))
+            )
+            for n in names:
+                for line in fs.read_text(f"{ev_dir}/{n}").splitlines():
+                    line = line.strip()
+                    if line:
+                        self.events.append(json.loads(line))
             self.events.sort(
                 key=lambda e: (-int(e.get("article_count", 0)),
                                e.get("event_id", ""))

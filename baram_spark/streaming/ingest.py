@@ -64,14 +64,11 @@ def stream_build(
     )
     bloom = None
     if bloom_prefilter:
-        import os
-
+        from ..index import fs
         from ..operators.bloom import CommittedUrlBloom
 
         committed = builder.committed_generations()
-        if committed and os.path.exists(
-            builder.docs_path.removeprefix("file:")
-        ):
+        if committed and fs.exists(builder.docs_path):
             from ..index.builder import read_gen_table
 
             bloom = CommittedUrlBloom.seed(

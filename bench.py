@@ -44,11 +44,17 @@ OPERATOR_QUERIES = [
     "chunking", "sessionize", "tpch_q1", "tpch_q3", "tpch_q4",
     "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q18",
     "anti_join_dedup", "json_extract",
+    # quadratic-family + remaining oracle queries (all 36 timed): the
+    # LSH/Jaccard pair is the one to watch for blowup as sf grows
+    "lsh_candidate_pairs", "ngram_jaccard", "pmi_cooccurrence",
+    "hybrid_topk", "percent_change", "range_count", "avg_value",
+    "corpus_stats", "ontology_triples",
 ]
 SMALL_RESULT = {"bm25_topk", "bm25_topk_filtered", "top_trending",
                 "knn_cosine", "tpch_q1", "tpch_q3", "tpch_q4",
                 "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q18",
-                "trend_slope", "corpus_stats"}
+                "trend_slope", "corpus_stats", "hybrid_topk",
+                "pmi_cooccurrence", "range_count", "avg_value"}
 
 
 def main() -> None:

@@ -351,3 +351,52 @@ def ontology_docs(spark, n_docs: int, partitions: int = 8):
     return spark.range(0, n_docs, 1, partitions).mapInPandas(
         gen, schema="doc_id long, title string, text string"
     )
+
+
+def make_query_set_extended() -> list[dict]:
+    """The hardened rank-identity query set (>=25): the committed 10 plus
+    decompound-bait compounds, tie clusters over duplicated content,
+    repeated/many-term phrases, ASCII+Korean mixes, punctuation, and
+    multi-OOV — every query asserted rank- AND score-identical across
+    WAND / exhaustive / brute force and across a compaction
+    (tests/test_index_search.py)."""
+    extra = [
+        # compounds of vocab words — decompound/segmenter bait: both the
+        # engine and the oracle analyze identically, so identity holds
+        # whatever the segmentation does
+        (f"{VOCAB[0]}{VOCAB[1]}", 10),
+        (f"{VOCAB[7]}{VOCAB[700]}", 10),
+        (f"{VOCAB[2]}{VOCAB[2]}", 10),
+        # repeated terms count once (Q dedup)
+        (f"{VOCAB[2]} {VOCAB[2]} {VOCAB[2]}", 10),
+        # wide unions: 4- and 5-term mixed-frequency phrases
+        (" ".join(VOCAB[i] for i in (1, 11, 111, 1111)), 10),
+        (" ".join(VOCAB[i] for i in (4, 40, 400, 4000, 4999)), 10),
+        # head-heavy tie clusters (the ~3% duplicated pages produce
+        # exact score ties — doc_id asc must break them identically)
+        (VOCAB[1], 50),
+        (f"{VOCAB[0]} {VOCAB[2]}", 50),
+        # ASCII vocab terms (lowercase/normalization path)
+        (VOCAB[3], 10),       # search12
+        (VOCAB[8], 10),       # shard70
+        (f"{VOCAB[3]} {VOCAB[19]}", 10),
+        # ASCII + Korean mixed phrase
+        (f"{VOCAB[0]} {VOCAB[5]}", 10),
+        (f"{VOCAB[9]} {VOCAB[100]} {VOCAB[2000]}", 10),
+        # punctuation / quoting the search analyzer must strip
+        (f"{VOCAB[6]}.", 10),
+        (f"'{VOCAB[12]}'", 10),
+        (f"{VOCAB[13]}, {VOCAB[130]}!", 10),
+        # OOV-only and mixed-OOV
+        ("xyzzyqq plugh999", 10),
+        (f"{VOCAB[15]} 존재하지않는용어 {VOCAB[1500]}", 10),
+        # deep-tail singletons at small and large k
+        (VOCAB[4700], 3),
+        (VOCAB[3500], 50),
+    ]
+    qs = make_query_set()
+    qs += [
+        {"query_id": len(qs) + i, "query_text": t, "k": k}
+        for i, (t, k) in enumerate(extra)
+    ]
+    return qs

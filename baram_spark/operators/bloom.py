@@ -182,11 +182,23 @@ class CommittedUrlBloom:
         """Build from a url DataFrame in ONE distributed pass."""
         n = df.count()
         inst = cls(max(min_capacity, int(n * headroom)), fp_rate)
+        inst.add_df(df, col=col, n=n)
+        return inst
+
+    def add_df(self, df, col: str = "url", n: int | None = None) -> None:
+        """Feed a whole url relation WITHOUT collecting it: per-partition
+        partial filters are OR-reduced on executors, so the driver
+        receives exactly one fixed-size bit array however fat the batch
+        (the streaming-ingest feed path — a micro-batch's urls must all
+        enter the filter to keep supersetness, but never via a driver
+        round-trip that scales with batch size)."""
+        if n is None:
+            n = df.count()
         if n == 0:
-            # treeReduce raises on an empty RDD; a fresh filter is already
-            # a valid superset of zero committed urls
-            return inst
-        cap, fp = inst.capacity, inst.fp_rate
+            # treeReduce raises on an empty RDD; a filter is already a
+            # valid superset of zero additional urls
+            return
+        cap, fp = self.capacity, self.fp_rate
 
         def part_bits(rows):
             local = _Bloom(cap, fp)
@@ -198,9 +210,12 @@ class CommittedUrlBloom:
             df.select(col).rdd.mapPartitions(part_bits)
             .treeReduce(np.bitwise_or)
         )
-        inst.bloom.bits = bits
-        inst.bloom.count = n
-        return inst
+        np.bitwise_or(self.bloom.bits, bits, out=self.bloom.bits)
+        self.bloom.count += n
+        if self.bloom.count > self.capacity:
+            # same contract as add(): past the sized capacity the fp-rate
+            # guarantee erodes — hand control back to the anti-join
+            self.authoritative = False
 
     def add(self, key: str) -> None:
         self.bloom.add(key)

@@ -167,6 +167,29 @@ def ann_knn(
     return brute_force_knn(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def kmeans_spherical(mat: np.ndarray, n_cells: int,
+                     iters: int = 10, seed: int = SEED) -> np.ndarray:
+    """Spherical k-means(-lite) on L2-normalized rows — the IVF coarse
+    quantizer shared by the distributed path (:func:`ivf_fit`) and the
+    serving tier's node-resident cell index. Deterministic seed."""
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(mat))
+    cent = mat[rng.choice(len(mat), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+    return cent
+
+
 def ivf_fit(
     embeddings: DataFrame,
     dim: int,
@@ -187,23 +210,9 @@ def ivf_fit(
         embeddings.sample(fraction=frac, seed=SEED)
         .select(vec_col).toPandas()[vec_col].tolist()
     )
-    mat = np.asarray(sample, dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    mat = mat[norms > 0] / norms[norms > 0, None]
-    rng = np.random.default_rng(SEED)
-    n_cells = min(n_cells, len(mat))
-    cent = mat[rng.choice(len(mat), n_cells, replace=False)].copy()
-    for _ in range(iters):
-        sims = mat @ cent.T
-        assign = np.argmax(sims, axis=1)
-        for c in range(n_cells):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                nm = np.linalg.norm(m)
-                if nm > 0:
-                    cent[c] = m / nm
-    return cent
+    return kmeans_spherical(
+        np.asarray(sample, dtype=np.float64), n_cells, iters
+    )
 
 
 def ivf_assign(

@@ -50,6 +50,61 @@ def _parse_date(s: str | None):
     raise ValueError(f"bad date: {s!r} (use YYYY-MM-DD[THH:MM:SS])")
 
 
+class _IvfServing:
+    """Node-resident IVF over the snapshot's embedding matrix: spherical
+    k-means centroids (shared with operators.similarity.ivf_fit),
+    multi-assignment inverted lists, n-probe search. All numpy — zero
+    Spark jobs per query, mirroring the reference's in-node HNSW."""
+
+    __slots__ = ("centroids", "lists", "matn", "n_probes")
+
+    def __init__(self, centroids, lists, matn, n_probes):
+        self.centroids = centroids
+        self.lists = lists
+        self.matn = matn
+        self.n_probes = n_probes
+
+    @classmethod
+    def build(cls, emb: np.ndarray, n_cells: int | None = None,
+              n_probes: int | None = None, n_assign: int = 2,
+              fit_sample: int = 100_000, seed: int = 42):
+        from .operators.similarity import kmeans_spherical
+
+        n = len(emb)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        matn = emb / norms[:, None]
+        if n_cells is None:
+            n_cells = max(16, int(np.sqrt(n)))  # FAISS rule of thumb
+        fit = matn
+        if n > fit_sample:  # bound the k-means cost, not the index
+            rng = np.random.default_rng(seed)
+            fit = matn[rng.choice(n, fit_sample, replace=False)]
+        cent = kmeans_spherical(fit, n_cells, seed=seed)
+        n_cells = len(cent)
+        r = min(max(n_assign, 1), n_cells)
+        sims = matn @ cent.T
+        if r == 1:
+            assign = np.argmax(sims, axis=1)[:, None]
+        else:
+            assign = np.argpartition(-sims, r - 1, axis=1)[:, :r]
+        rows = np.repeat(np.arange(n, dtype=np.int64), r)
+        cells = assign.reshape(-1)
+        order = np.argsort(cells, kind="stable")
+        cells, rows = cells[order], rows[order]
+        bounds = np.searchsorted(cells, np.arange(n_cells + 1))
+        lists = [rows[bounds[c]:bounds[c + 1]] for c in range(n_cells)]
+        if n_probes is None:
+            n_probes = max(4, n_cells // 8)
+        return cls(cent, lists, matn, min(n_probes, n_cells))
+
+    def candidates(self, qv: np.ndarray) -> np.ndarray:
+        probe = np.argsort(-(self.centroids @ qv))[: self.n_probes]
+        if not len(probe):
+            return np.zeros(0, dtype=np.int64)
+        return np.unique(np.concatenate([self.lists[c] for c in probe]))
+
+
 class _Snapshot:
     """One immutable resident snapshot: engine + doc metadata + embedding
     matrix. Built off to the side and swapped into ServingContext with a
@@ -57,9 +112,11 @@ class _Snapshot:
     the whole old state or the whole new one, never a mix."""
 
     __slots__ = ("engine", "meta", "emb_ids", "emb", "cat_ids",
-                 "publisher_ids", "pub", "pub_ids", "events")
+                 "publisher_ids", "pub", "pub_ids", "events", "ivf")
 
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str,
+                 ivf_threshold: int | None = None, ivf_cells: int | None = None,
+                 ivf_probes: int | None = None, ivf_assign: int = 2):
         import pyarrow.dataset as ds
 
         from .index import fs
@@ -147,6 +204,21 @@ class _Snapshot:
             )
             self.emb_ids, self.emb = ids[keep], mat[keep]
 
+        # node-resident IVF cell index (the HNSW-serving analog,
+        # src/embedding/mod.rs:309-321): above ivf_threshold resident
+        # vectors, an unfiltered knn probes only n_probes cells instead of
+        # scanning the whole matrix — flat per-query work as the corpus
+        # grows. Built once per snapshot; scores are IDENTICAL to the
+        # exact path for every candidate surfaced (same normalized-matrix
+        # dot product), only recall is traded.
+        self.ivf = None
+        if (self.emb is not None and ivf_threshold is not None
+                and self.emb_ids.size >= ivf_threshold):
+            self.ivf = _IvfServing.build(
+                self.emb, n_cells=ivf_cells, n_probes=ivf_probes,
+                n_assign=ivf_assign,
+            )
+
         # event clusters (the clusters.json analog, written by the
         # `cluster` subcommand) — small, resident, served by /api/events
         self.events: list[dict] = []
@@ -171,7 +243,10 @@ class ServingContext:
     """Everything a serving node keeps resident: preloaded postings,
     doc-metadata projection, and the build-time embedding matrix."""
 
-    def __init__(self, spark, index_dir: str, dim: int = 64, embed_fn=None):
+    def __init__(self, spark, index_dir: str, dim: int = 64, embed_fn=None,
+                 ivf_threshold: int | None = 100_000,
+                 ivf_cells: int | None = None,
+                 ivf_probes: int | None = None, ivf_assign: int = 2):
         self.spark = spark
         self.index_dir = index_dir
         self.dim = dim
@@ -179,7 +254,15 @@ class ServingContext:
         # embeddings were built with (IndexBuilder(embed_fn=...)); default
         # is the deterministic hashing-trick stand-in
         self.embed_fn = embed_fn
-        self._snap = _Snapshot(spark, index_dir)
+        # vector-serving scale knobs: when the resident matrix crosses
+        # ivf_threshold rows, unfiltered knn goes through the per-snapshot
+        # IVF cell index (None disables; the exact path is always used for
+        # filtered queries — their allowed sets are selective by contract)
+        self._ivf_opts = dict(
+            ivf_threshold=ivf_threshold, ivf_cells=ivf_cells,
+            ivf_probes=ivf_probes, ivf_assign=ivf_assign,
+        )
+        self._snap = _Snapshot(spark, index_dir, **self._ivf_opts)
 
     # the resident state is read through properties so every consumer sees
     # one _snap object per attribute access chain (handlers grab it once)
@@ -208,7 +291,8 @@ class ServingContext:
         analog): builds the new state OFF TO THE SIDE and swaps it in with
         one attribute assignment — concurrent searches keep the old
         snapshot until the swap and never observe a half-built context."""
-        self._snap = _Snapshot(self.spark, self.index_dir)
+        self._snap = _Snapshot(self.spark, self.index_dir,
+                              **self._ivf_opts)
 
     # -- candidate filter (precomputed snapshot attribute index) ----------
     @staticmethod
@@ -242,6 +326,17 @@ class ServingContext:
         if snap.emb is None or snap.emb_ids is None or not snap.emb_ids.size:
             return []
         qv = embed_query(query_text, self.dim, self.embed_fn)
+        if allowed is None and snap.ivf is not None:
+            # IVF n-probe path (corpus crossed ivf_threshold): candidate
+            # scores use the same normalized-matrix dot product as the
+            # exact scan, so surfaced hits carry identical values
+            cand = snap.ivf.candidates(qv)
+            if not cand.size:
+                return []
+            cos = snap.ivf.matn[cand] @ qv
+            ids_c = snap.emb_ids[cand]
+            order = np.lexsort((ids_c, -cos))[:k]
+            return [(int(ids_c[i]), float(cos[i])) for i in order]
         ids, mat = snap.emb_ids, snap.emb
         if allowed is not None:
             idx = np.searchsorted(allowed, ids)

@@ -37,6 +37,7 @@ def stream_build(
     schema: str = PAGES_SCHEMA,
     occ_retries: int = 3,
     bloom_prefilter: bool = False,
+    bloom_feed_cap: int = 10_000,
 ):
     """Drain all unprocessed page files into incremental index generations.
 
@@ -99,10 +100,19 @@ def stream_build(
         )
         if bloom is not None:
             # feed the fast-reject tier AFTER the commit so a failed
-            # batch never poisons the filter
-            bloom.add_many(
-                r["url"] for r in batch_df.select("url").collect()
-            )
+            # batch never poisons the filter. Small batches take the
+            # cheap driver collect; a fat batch (> bloom_feed_cap urls)
+            # feeds through a distributed partial-filter OR-reduce so the
+            # driver round-trip stays one fixed-size bit array — the
+            # filter must see EVERY committed url (supersetness), capping
+            # by dropping urls is never an option
+            n_urls = batch_df.count()
+            if n_urls <= bloom_feed_cap:
+                bloom.add_many(
+                    r["url"] for r in batch_df.select("url").collect()
+                )
+            else:
+                bloom.add_df(batch_df, col="url", n=n_urls)
 
     stream = (
         spark.readStream.schema(schema)

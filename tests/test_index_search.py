@@ -305,3 +305,56 @@ def test_search_df_projection_and_highlights(spark, index_dir):
     assert any(
         any("<mark>" in h for h in (r["highlights"] or [])) for r in rows
     )
+
+
+def test_extended_query_set_identity(spark, index_dir, oracle):
+    """>=25 hardened queries (decompound compounds, tie clusters,
+    repeated/many-term, ASCII+Korean, punctuation, OOV): rank AND score
+    identical across WAND, exhaustive, and the brute-force oracle."""
+    from baram_spark.corpus import make_query_set_extended
+
+    # fresh engine: earlier resume tests rewrite postings files, and the
+    # module-scoped engine's cached file listing would go stale
+    engine = SearchEngine(spark, index_dir)
+    qs = make_query_set_extended()
+    assert len(qs) >= 25
+    nonempty = 0
+    for q in qs:
+        exp = _norm(oracle.search(q["query_text"], k=q["k"]))
+        wand = _norm(engine.search(q["query_text"], k=q["k"], mode="local"))
+        exh = _norm(engine.search(q["query_text"], k=q["k"], mode="local",
+                                  prune=False))
+        assert wand == exp, q["query_text"]
+        assert exh == exp, q["query_text"]
+        nonempty += bool(exp)
+    assert nonempty >= 20  # the set is not vacuously green
+
+
+def test_extended_identity_survives_compaction(spark, tmp_path):
+    """The same hardened set stays rank/score-identical after
+    delete->compact rewrites generations and global stats."""
+    from baram_spark.corpus import make_query_set_extended
+
+    out = f"{tmp_path}/cmp_idx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 300, partitions=4), fingerprint="ext-cmp")
+    first = SearchEngine(spark, out)
+    victims = [d for d, _ in first.search(
+        make_query_set_extended()[0]["query_text"], k=3, mode="local")]
+    b.delete_docs(victims)
+    b.compact(fingerprint="ext-cmp-c")
+
+    from baram_spark.index.builder import read_gen_table
+
+    docs = (
+        read_gen_table(spark, out, "docs")
+        .select("doc_id", "title", "text").toPandas()
+    )
+    oracle2 = BruteForceIndex.build(
+        [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()]
+    )
+    engine2 = SearchEngine(spark, out)
+    for q in make_query_set_extended():
+        exp = _norm(oracle2.search(q["query_text"], k=q["k"]))
+        assert _norm(engine2.search(q["query_text"], k=q["k"],
+                                    mode="local")) == exp, q["query_text"]

@@ -431,3 +431,35 @@ def test_committed_bloom_empty_seed(spark):
     # and it still works as a live filter afterwards
     b.add("https://news.example.com/a/1")
     assert b.might_contain("https://news.example.com/a/1")
+
+
+def test_bloom_add_df_matches_add_many(spark):
+    """The distributed feed (add_df — fat micro-batches) must set exactly
+    the bits the driver-side add_many would: same hashes, same
+    supersetness, same capacity/authority accounting, while the driver
+    only ever receives one fixed-size bit array."""
+    import numpy as np
+
+    from baram_spark.operators.bloom import CommittedUrlBloom
+
+    urls = [f"https://news.example.com/a/{i}" for i in range(3000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string") \
+        .repartition(8)
+
+    a = CommittedUrlBloom(capacity=50_000)
+    a.add_many(urls)
+    b = CommittedUrlBloom(capacity=50_000)
+    b.add_df(df)
+    assert np.array_equal(a.bloom.bits, b.bloom.bits)
+    assert b.bloom.count == 3000 and b.authoritative
+    assert all(b.might_contain(u) for u in urls[:100])
+
+    # overflow via add_df drops authority exactly like add()
+    small = CommittedUrlBloom(capacity=1000)
+    small.add_df(df)
+    assert not small.authoritative
+
+    # empty add_df is a no-op
+    before = b.bloom.count
+    b.add_df(df.filter("url = 'nope'"))
+    assert b.bloom.count == before

@@ -208,7 +208,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "scan; rebuild with build_embeddings=True",
                     file=sys.stderr,
                 )
-                emb = embed_docs(spark.read.parquet(f"{args.index}/docs"))
+                emb = embed_docs(
+                    spark.read.parquet(fs.spark_url(f"{args.index}/docs"))
+                )
             # filter context applies to BOTH fusion inputs: an
             # out-of-filter doc must not enter through the knn side
             allowed = engine._allowed_docs(args.category, args.date_from,
@@ -253,6 +255,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         post = read_gen_table(spark, idx, "postings")
         from pyspark.sql import functions as F
 
+        from baram_spark.index import fs
+
         gens = sorted(
             int(r["gen"]) for r in docs.select("gen").distinct().collect()
         ) if "gen" in docs.columns else [0]
@@ -262,13 +266,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "posting_lists": post.count(),
             "postings": int(post.agg(F.sum("df")).collect()[0][0] or 0),
             "terms": spark.read.parquet(
-                IndexBuilder(spark, idx)._latest_stats_dir(
-                    f"{idx}/term_stats"
+                fs.spark_url(
+                    IndexBuilder(spark, idx)._latest_stats_dir(
+                        f"{idx}/term_stats"
+                    )
                 )
             ).count(),
         }
-        from baram_spark.index import fs
-
         if fs.exists(f"{idx}/deletes"):
             stats["pending_tombstones"] = (
                 spark.read.parquet(fs.spark_url(f"{idx}/deletes")).count()

@@ -890,10 +890,9 @@ class IndexBuilder:
         # read and the swap — otherwise that writer's commit would be
         # silently reverted and its fresh generation dirs GC'd.
         sid = base_sid + 1
-        history.append({
-            "snapshot_id": sid,
-            "generations": sorted({int(g) for g in m.get("generations", [])}),
-        })
+        # no history append: the retained newest entry already references
+        # the live generations — bumping snapshot_id alone gives vacuum
+        # its OCC semantics without growing history on every run
         m["history"] = history
         m["snapshot_id"] = sid
         tmp = f"{self.out}/._manifest.{uuid.uuid4().hex}.tmp"

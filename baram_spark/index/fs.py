@@ -33,7 +33,6 @@ import os
 import re
 from dataclasses import dataclass
 
-import pyarrow.lib
 from pyarrow import fs as pafs
 
 __all__ = [
@@ -54,6 +53,10 @@ class _Mount:
 
 _REGISTRY: dict[str, _Mount] = {}
 _LOCAL = pafs.LocalFileSystem()
+# resolved remote filesystems, keyed by their URI prefix (scheme://netloc):
+# FileSystem.from_uri re-runs credential/config resolution per call — one
+# commit issues dozens of metadata ops, so the instance must be reused
+_FS_CACHE: dict[str, pafs.FileSystem] = {}
 
 
 def register_filesystem(scheme: str, filesystem: pafs.FileSystem,
@@ -88,7 +91,12 @@ def resolve(path: str) -> tuple[pafs.FileSystem, str]:
         if scheme in _REGISTRY:
             rel = p[m.end():].lstrip("/")
             return _REGISTRY[scheme].fs, rel
+        for prefix, cached in _FS_CACHE.items():
+            if p.startswith(prefix):
+                return cached, p[len(prefix):]
         fs, rel = pafs.FileSystem.from_uri(p)
+        if p.endswith(rel):  # cacheable: prefix + rel reconstructs p
+            _FS_CACHE[p[: len(p) - len(rel)]] = fs
         return fs, rel
     return _LOCAL, p
 
@@ -125,7 +133,10 @@ def listdir(path: str) -> list[str]:
     fs, p = resolve(path)
     try:
         infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
-    except (FileNotFoundError, OSError, pyarrow.lib.ArrowInvalid):
+    except FileNotFoundError:
+        # ONLY not-found maps to empty; transient IO errors (throttling,
+        # network) must propagate — swallowing one here would alias
+        # _next_gen onto a live generation and overwrite it
         return []
     return [i.base_name for i in infos]
 
@@ -135,8 +146,8 @@ def walk_dir_names(path: str) -> list[str]:
     fs, p = resolve(path)
     try:
         infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
-    except (FileNotFoundError, OSError, pyarrow.lib.ArrowInvalid):
-        return []
+    except FileNotFoundError:
+        return []  # see listdir: not-found only
     return [i.base_name for i in infos
             if i.type == pafs.FileType.Directory]
 
@@ -180,8 +191,8 @@ def rmtree(path: str) -> None:
     fs, p = resolve(path)
     try:
         fs.delete_dir(p)
-    except (FileNotFoundError, OSError, pyarrow.lib.ArrowInvalid):
-        pass
+    except FileNotFoundError:
+        pass  # missing only; a real IO failure must surface, not skip GC
 
 
 def read_json(path: str) -> dict | None:

@@ -65,15 +65,21 @@ class _IvfServing:
         self.n_probes = n_probes
 
     @classmethod
-    def build(cls, emb: np.ndarray, n_cells: int | None = None,
+    def build(cls, emb: np.ndarray | None = None,
+              n_cells: int | None = None,
               n_probes: int | None = None, n_assign: int = 2,
-              fit_sample: int = 100_000, seed: int = 42):
+              fit_sample: int = 100_000, seed: int = 42,
+              matn: np.ndarray | None = None):
         from .operators.similarity import kmeans_spherical
 
-        n = len(emb)
-        norms = np.linalg.norm(emb, axis=1)
-        norms[norms == 0] = 1.0
-        matn = emb / norms[:, None]
+        if matn is None:
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            matn = emb / norms[:, None]
+        # a caller-supplied matn is SHARED, not copied — the snapshot's
+        # normalized matrix serves both the IVF and the exact path, so
+        # IVF never doubles the resident footprint
+        n = len(matn)
         if n_cells is None:
             n_cells = max(16, int(np.sqrt(n)))  # FAISS rule of thumb
         fit = matn
@@ -111,8 +117,19 @@ class _Snapshot:
     single attribute assignment, so a request racing a refresh sees either
     the whole old state or the whole new one, never a mix."""
 
-    __slots__ = ("engine", "meta", "emb_ids", "emb", "cat_ids",
-                 "publisher_ids", "pub", "pub_ids", "events", "ivf")
+    __slots__ = ("engine", "meta", "emb_ids", "matn", "emb_norms",
+                 "cat_ids", "publisher_ids", "pub", "pub_ids", "events",
+                 "ivf")
+
+    @property
+    def emb(self):
+        """Raw embedding matrix, reconstructed on demand — the snapshot
+        holds only the NORMALIZED matrix plus per-row norms (one resident
+        copy shared by the exact and IVF paths, instead of raw+normalized
+        doubling above ivf_threshold)."""
+        if self.matn is None:
+            return None
+        return self.matn * self.emb_norms[:, None]
 
     def __init__(self, spark, index_dir: str,
                  ivf_threshold: int | None = None, ivf_cells: int | None = None,
@@ -181,7 +198,8 @@ class _Snapshot:
         self.pub_ids = np.asarray([d for _, d in pub_pairs], dtype=np.int64)
 
         self.emb_ids = None
-        self.emb = None
+        self.matn = None
+        self.emb_norms = None
         emb_dir = f"{base}/embeddings"
         if fs.exists(emb_dir):
             emb_fs, emb_path = fs.resolve(emb_dir)
@@ -202,7 +220,11 @@ class _Snapshot:
             keep = np.array(
                 [i not in denied for i in ids.tolist()], dtype=bool
             )
-            self.emb_ids, self.emb = ids[keep], mat[keep]
+            self.emb_ids, mat = ids[keep], mat[keep]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            self.emb_norms = norms
+            self.matn = mat / norms[:, None]
 
         # node-resident IVF cell index (the HNSW-serving analog,
         # src/embedding/mod.rs:309-321): above ivf_threshold resident
@@ -212,10 +234,10 @@ class _Snapshot:
         # exact path for every candidate surfaced (same normalized-matrix
         # dot product), only recall is traded.
         self.ivf = None
-        if (self.emb is not None and ivf_threshold is not None
+        if (self.matn is not None and ivf_threshold is not None
                 and self.emb_ids.size >= ivf_threshold):
             self.ivf = _IvfServing.build(
-                self.emb, n_cells=ivf_cells, n_probes=ivf_probes,
+                matn=self.matn, n_cells=ivf_cells, n_probes=ivf_probes,
                 n_assign=ivf_assign,
             )
 
@@ -323,7 +345,7 @@ class ServingContext:
 
     def _knn(self, snap, query_text: str, k: int,
              allowed) -> list[tuple[int, float]]:
-        if snap.emb is None or snap.emb_ids is None or not snap.emb_ids.size:
+        if snap.matn is None or snap.emb_ids is None or not snap.emb_ids.size:
             return []
         qv = embed_query(query_text, self.dim, self.embed_fn)
         if allowed is None and snap.ivf is not None:
@@ -337,7 +359,7 @@ class ServingContext:
             ids_c = snap.emb_ids[cand]
             order = np.lexsort((ids_c, -cos))[:k]
             return [(int(ids_c[i]), float(cos[i])) for i in order]
-        ids, mat = snap.emb_ids, snap.emb
+        ids, matn = snap.emb_ids, snap.matn
         if allowed is not None:
             idx = np.searchsorted(allowed, ids)
             idx_c = np.minimum(idx, max(allowed.size - 1, 0))
@@ -345,12 +367,12 @@ class ServingContext:
                 (idx < allowed.size) & (allowed[idx_c] == ids)
                 if allowed.size else np.zeros(ids.size, dtype=bool)
             )
-            ids, mat = ids[mask], mat[mask]
+            ids, matn = ids[mask], matn[mask]
         if not ids.size:
             return []
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cos = (mat @ qv) / norms
+        # norms are baked into the snapshot's normalized matrix — no
+        # per-query norm pass, and bit-identical to the IVF path
+        cos = matn @ qv
         order = np.lexsort((ids, -cos))[:k]
         return [(int(ids[i]), float(cos[i])) for i in order]
 

@@ -105,14 +105,15 @@ def stream_build(
             # feeds through a distributed partial-filter OR-reduce so the
             # driver round-trip stays one fixed-size bit array — the
             # filter must see EVERY committed url (supersetness), capping
-            # by dropping urls is never an option
-            n_urls = batch_df.count()
-            if n_urls <= bloom_feed_cap:
-                bloom.add_many(
-                    r["url"] for r in batch_df.select("url").collect()
-                )
+            # by dropping urls is never an option. One probe job decides
+            # the path: limit(cap+1) collects at most cap+1 urls — the
+            # rows double as the feed for the common small batch, so no
+            # extra full count() of the batch source
+            probe = batch_df.select("url").limit(bloom_feed_cap + 1).collect()
+            if len(probe) <= bloom_feed_cap:
+                bloom.add_many(r["url"] for r in probe)
             else:
-                bloom.add_df(batch_df, col="url", n=n_urls)
+                bloom.add_df(batch_df, col="url")
 
     stream = (
         spark.readStream.schema(schema)

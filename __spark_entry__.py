@@ -616,6 +616,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("predicate", "predicate_label")
         )
 
+    def q_entity_linking(spark, sf_dir):
+        # ontology entity linking (linker.rs analog) over the same
+        # deterministic press corpus: extract entities per doc, link to
+        # the built-in KB (alias + fuzzy), aggregate mentions per
+        # canonical entity. Rows-only driver check (regex + KB lookup are
+        # not SQL-expressible); goldens in tests/test_linker.py.
+        from baram_spark.corpus import ontology_docs
+        from baram_spark.operators.linker import link_entities
+
+        return (
+            link_entities(ontology_docs(spark, 400, partitions=8))
+            .groupBy("canonical", "entity_type", "in_knowledge_base")
+            .agg(
+                F.count(F.lit(1)).alias("mentions"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.max("wikidata").alias("wikidata"),
+            )
+            .orderBy(F.desc("mentions"), "canonical")
+        )
+
     def q_sessionize(spark, sf_dir):
         # event-time session windows over the events table (native
         # session_window; batch mode — watermark is a no-op). Session
@@ -664,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "ontology_triples": q_ontology_triples,
+        "entity_linking": q_entity_linking,
     }
 
 

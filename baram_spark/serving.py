@@ -221,10 +221,11 @@ class _Snapshot:
                 [i not in denied for i in ids.tolist()], dtype=bool
             )
             self.emb_ids, mat = ids[keep], mat[keep]
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            self.emb_norms = norms
-            self.matn = mat / norms[:, None]
+            if self.emb_ids.size:  # zero rows collapse to a 1-D array
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                self.emb_norms = norms
+                self.matn = mat / norms[:, None]
 
         # node-resident IVF cell index (the HNSW-serving analog,
         # src/embedding/mod.rs:309-321): above ivf_threshold resident

@@ -48,7 +48,7 @@ OPERATOR_QUERIES = [
     # LSH/Jaccard pair is the one to watch for blowup as sf grows
     "lsh_candidate_pairs", "ngram_jaccard", "pmi_cooccurrence",
     "hybrid_topk", "percent_change", "range_count", "avg_value",
-    "corpus_stats", "ontology_triples",
+    "corpus_stats", "ontology_triples", "entity_linking",
 ]
 SMALL_RESULT = {"bm25_topk", "bm25_topk_filtered", "top_trending",
                 "knn_cosine", "tpch_q1", "tpch_q3", "tpch_q4",

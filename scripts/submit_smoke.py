@@ -16,7 +16,14 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/baram_submit_smoke"
+    if len(sys.argv) > 1:
+        out = sys.argv[1]
+    else:
+        # fresh dir per run: a leftover index from a previous smoke would
+        # make the build a full ledger-resume (metrics then lack docs_out)
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="baram_submit_smoke_")
     spark = (
         SparkSession.builder.appName("baram-submit-smoke")
         .config("spark.sql.shuffle.partitions", "8")

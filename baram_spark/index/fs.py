@@ -53,10 +53,15 @@ class _Mount:
 
 _REGISTRY: dict[str, _Mount] = {}
 _LOCAL = pafs.LocalFileSystem()
-# resolved remote filesystems, keyed by their URI prefix (scheme://netloc):
-# FileSystem.from_uri re-runs credential/config resolution per call — one
-# commit issues dozens of metadata ops, so the instance must be reused
-_FS_CACHE: dict[str, pafs.FileSystem] = {}
+# resolved remote filesystems, keyed by scheme://authority (pyarrow
+# resolves e.g. the S3 region PER BUCKET at from_uri time, and two
+# namenode authorities are different clusters — a bare-scheme key would
+# hand back the wrong client). Value = (filesystem, strip_prefix) where
+# strip_prefix reconstructs the fs-local path. FileSystem.from_uri
+# re-runs credential/config resolution per call — one commit issues
+# dozens of metadata ops, so the instance must be reused.
+_FS_CACHE: dict[str, tuple[pafs.FileSystem, str]] = {}
+_AUTH_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)")
 
 
 def register_filesystem(scheme: str, filesystem: pafs.FileSystem,
@@ -91,12 +96,16 @@ def resolve(path: str) -> tuple[pafs.FileSystem, str]:
         if scheme in _REGISTRY:
             rel = p[m.end():].lstrip("/")
             return _REGISTRY[scheme].fs, rel
-        for prefix, cached in _FS_CACHE.items():
-            if p.startswith(prefix):
-                return cached, p[len(prefix):]
+        am = _AUTH_RE.match(p)
+        key = am.group(0) if am else p
+        cached = _FS_CACHE.get(key)
+        if cached is not None:
+            fs, strip = cached
+            if p.startswith(strip):
+                return fs, p[len(strip):]
         fs, rel = pafs.FileSystem.from_uri(p)
-        if p.endswith(rel):  # cacheable: prefix + rel reconstructs p
-            _FS_CACHE[p[: len(p) - len(rel)]] = fs
+        if p.endswith(rel):  # cacheable: strip + rel reconstructs p
+            _FS_CACHE[key] = (fs, p[: len(p) - len(rel)])
         return fs, rel
     return _LOCAL, p
 

@@ -187,31 +187,37 @@ class CommittedUrlBloom:
 
     def add_df(self, df, col: str = "url", n: int | None = None) -> None:
         """Feed a whole url relation WITHOUT collecting it: per-partition
-        partial filters are OR-reduced on executors, so the driver
-        receives exactly one fixed-size bit array however fat the batch
-        (the streaming-ingest feed path — a micro-batch's urls must all
-        enter the filter to keep supersetness, but never via a driver
-        round-trip that scales with batch size)."""
-        if n is None:
-            n = df.count()
+        (partial filter, count) pairs are OR/sum-reduced on executors, so
+        the driver receives exactly one fixed-size bit array + a count in
+        ONE pass over the relation (the streaming-ingest feed path — a
+        micro-batch's urls must all enter the filter to keep
+        supersetness, but never via a driver round-trip that scales with
+        batch size). ``n``, when the caller already counted, just skips
+        the pass entirely for a known-empty relation."""
         if n == 0:
-            # treeReduce raises on an empty RDD; a filter is already a
-            # valid superset of zero additional urls
             return
         cap, fp = self.capacity, self.fp_rate
 
         def part_bits(rows):
             local = _Bloom(cap, fp)
+            c = 0
             for r in rows:
                 local.add(r[0])
-            yield local.bits
+                c += 1
+            yield local.bits, c
 
-        bits = (
+        # treeAggregate with a zero value: empty relations reduce to the
+        # zero pair instead of raising (treeReduce would)
+        zero = (np.zeros_like(self.bloom.bits), 0)
+        comb = lambda a, b: (np.bitwise_or(a[0], b[0]), a[1] + b[1])
+        bits, counted = (
             df.select(col).rdd.mapPartitions(part_bits)
-            .treeReduce(np.bitwise_or)
+            .treeAggregate(zero, comb, comb)
         )
+        if counted == 0:
+            return
         np.bitwise_or(self.bloom.bits, bits, out=self.bloom.bits)
-        self.bloom.count += n
+        self.bloom.count += counted
         if self.bloom.count > self.capacity:
             # same contract as add(): past the sized capacity the fp-rate
             # guarantee erodes — hand control back to the anti-join

@@ -119,17 +119,22 @@ class _Snapshot:
 
     __slots__ = ("engine", "meta", "emb_ids", "matn", "emb_norms",
                  "cat_ids", "publisher_ids", "pub", "pub_ids", "events",
-                 "ivf")
+                 "ivf", "_emb_raw")
 
     @property
     def emb(self):
-        """Raw embedding matrix, reconstructed on demand — the snapshot
+        """Raw embedding matrix, memoized on first access — the snapshot
         holds only the NORMALIZED matrix plus per-row norms (one resident
         copy shared by the exact and IVF paths, instead of raw+normalized
-        doubling above ivf_threshold)."""
+        doubling above ivf_threshold); nothing on the serving hot path
+        reads the raw matrix, so the rebuild cost lands only on external
+        inspection and is paid once. Values are the normalized round-trip
+        (identical to disk up to the last ulp)."""
         if self.matn is None:
             return None
-        return self.matn * self.emb_norms[:, None]
+        if self._emb_raw is None:
+            self._emb_raw = self.matn * self.emb_norms[:, None]
+        return self._emb_raw
 
     def __init__(self, spark, index_dir: str,
                  ivf_threshold: int | None = None, ivf_cells: int | None = None,
@@ -200,6 +205,7 @@ class _Snapshot:
         self.emb_ids = None
         self.matn = None
         self.emb_norms = None
+        self._emb_raw = None  # lazy raw-matrix memo (see the property)
         emb_dir = f"{base}/embeddings"
         if fs.exists(emb_dir):
             emb_fs, emb_path = fs.resolve(emb_dir)

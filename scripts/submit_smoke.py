@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
+    cleanup = None
     if len(sys.argv) > 1:
         out = sys.argv[1]
     else:
@@ -24,6 +25,7 @@ def main() -> int:
         import tempfile
 
         out = tempfile.mkdtemp(prefix="baram_submit_smoke_")
+        cleanup = out
     spark = (
         SparkSession.builder.appName("baram-submit-smoke")
         .config("spark.sql.shuffle.partitions", "8")
@@ -48,6 +50,10 @@ def main() -> int:
         "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
     }))
     spark.stop()
+    if cleanup is not None:
+        import shutil
+
+        shutil.rmtree(cleanup, ignore_errors=True)
     return 0 if hits else 1
 
 

@@ -10,10 +10,13 @@ index.rs:36-359``), re-architected for 10^12-doc scale:
 
 Scale levers, explicit per the north_rule:
 
-- **Sharding**: postings land in ``n_shards`` directories keyed by
-  ``shard = pmod(xxhash64(field, term), n_shards)`` (the OpenSearch
-  ``number_of_shards`` analog, ``src/embedding/mod.rs:241``); a query term
-  prunes to exactly one shard directory.
+- **Sharding**: DOCUMENT-sharded (the OpenSearch/Lucene shard model,
+  ``src/embedding/mod.rs:241``): ``shard = pmod(xxhash64(doc_id),
+  n_shards)`` (see :func:`shard_expr`), so every shard holds all query
+  terms for its doc subset and computes exact local BM25 scores; the
+  query engine fans out to every shard and k-merges (engine.py). Term
+  pruning happens WITHIN a shard via the term-sorted parquet files'
+  row-group min-max, not by shard routing.
 - **Skew**: Zipf-head terms (df above ``salt_threshold``, detected from a
   cheap term_stats aggregation) get a salt ``pmod(xxhash64(doc_id), k)``
   so no single reducer receives the head term's full posting set. The merge
@@ -142,20 +145,6 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
 
     cols = ["doc_id", "title", "text"] + (["chunk_text"] if has_chunks else [])
     return docs.select(*cols).mapInPandas(run, schema=DOC_TERMS_SCHEMA)
-
-
-def corpus_stats(doc_terms: DataFrame) -> DataFrame:
-    """Per-field (n_docs, avgdl) — BM25 denominators."""
-    per_doc = doc_terms.groupBy("field", "doc_id").agg(F.first("dl").alias("dl"))
-    return per_doc.groupBy("field").agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
-    )
-
-
-def term_stats(doc_terms: DataFrame) -> DataFrame:
-    """Per (field, term) document frequency — salt planning + idf."""
-    return doc_terms.groupBy("field", "term").agg(F.count("*").alias("df"))
 
 
 def plan_salts(term_stats_pdf: pd.DataFrame, salt_threshold: int) -> dict:

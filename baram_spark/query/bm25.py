@@ -75,13 +75,14 @@ class BruteForceIndex:
     tf: dict = field(default_factory=dict)  # field -> {doc_id: Counter(term)}
     dl: dict = field(default_factory=dict)  # field -> {doc_id: int}
     stats: dict = field(default_factory=dict)  # field -> FieldStats
-    meta: dict = field(default_factory=dict)  # doc_id -> (category, published_at)
+    meta: dict = field(default_factory=dict)
+    # meta: doc_id -> (category, published_at[, publisher])
 
     @classmethod
     def build(cls, docs, meta: dict | None = None) -> "BruteForceIndex":
         """docs: iterable of (doc_id, title, content[, chunk_text]);
-        ``meta``: optional {doc_id: (category, published_at)} enabling
-        filter-context search (the reference's bool-filter)."""
+        ``meta``: optional {doc_id: (category, published_at[, publisher])}
+        enabling filter-context search (the reference's bool-filter)."""
         idx = cls(doc_ids=[], meta=meta or {})
         for f in FIELDS:
             idx.tf[f] = {}
@@ -111,17 +112,24 @@ class BruteForceIndex:
     def search(self, query_text: str, k: int = DEFAULT_K,
                min_score: float | None = None,
                category: str | None = None,
-               date_from=None, date_to=None):
+               date_from=None, date_to=None,
+               publisher: str | None = None):
         """Top-k (doc_id, score) — float64, tie-break (score desc, id asc).
 
-        category/date filters are FILTER CONTEXT (mod.rs:509-531): they
-        restrict the candidate set before top-k; surviving docs keep the
-        same score as an unfiltered search (df/idf stats unchanged)."""
+        category/publisher/date filters are FILTER CONTEXT
+        (mod.rs:509-531): they restrict the candidate set before top-k;
+        surviving docs keep the same score as an unfiltered search
+        (df/idf stats unchanged)."""
         allowed = None
-        if category is not None or date_from is not None or date_to is not None:
+        if (category is not None or date_from is not None
+                or date_to is not None or publisher is not None):
             allowed = set()
-            for doc_id, (cat, pub) in self.meta.items():
+            for doc_id, m in self.meta.items():
+                cat, pub = m[0], m[1]
+                doc_publisher = m[2] if len(m) > 2 else None
                 if category is not None and cat != category:
+                    continue
+                if publisher is not None and doc_publisher != publisher:
                     continue
                 # pub != pub catches NaT/NaN (missing dates fail range filters)
                 missing = pub is None or pub != pub

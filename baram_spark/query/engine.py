@@ -144,7 +144,34 @@ class SearchEngine:
             return f"{base}/v_{max(vs)}"
         return base
 
-    def _gen_read(self, d: str) -> DataFrame:
+    #: explicit schemas for EMPTY snapshots: a compact-to-empty index
+    #: whose gen dirs were vacuumed has nothing left for parquet schema
+    #: inference, yet must still open as an empty index
+    _POSTINGS_EMPTY = (
+        "shard int, field string, term string, salt int, df long, "
+        "postings binary, skips binary, blockmax binary, gen int"
+    )
+    _DOCS_EMPTY = (
+        "doc_id long, url string, oid string, aid string, title string, "
+        "text string, category string, published_at timestamp, "
+        "publisher string, author string, format string, "
+        "content_hash string, warc_ts timestamp, lang string, gen int"
+    )
+    _ATTRS_EMPTY = (
+        "doc_id long, shard int, category string, publisher string, "
+        "published_at timestamp, gen int"
+    )
+
+    def _empty_rel(self, d: str, schema: str) -> DataFrame:
+        """Empty relation for dir ``d``: prefer the on-disk schema (keeps
+        optional columns like chunk_text) but survive a dir with no
+        parquet files left (post-vacuum empty snapshot)."""
+        try:
+            return self.spark.read.parquet(_sp(d)).filter(F.lit(False))
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def _gen_read(self, d: str, empty_schema: str | None = None) -> DataFrame:
         """Read a gen-partitioned table at the committed snapshot; an
         empty committed list is an EMPTY relation, not a whole-dir read."""
         if self._committed is None:
@@ -153,14 +180,22 @@ class SearchEngine:
             return self.spark.read.option("basePath", _sp(d)).parquet(
                 *[_sp(f"{d}/gen={g}") for g in self._committed]
             )
-        return self.spark.read.parquet(_sp(d)).filter(F.lit(False))
+        return self._empty_rel(d, empty_schema or self._POSTINGS_EMPTY)
 
     def _docs(self) -> DataFrame:
-        return self._gen_read(f"{self.index_dir}/docs")
+        return self._gen_read(f"{self.index_dir}/docs",
+                              empty_schema=self._DOCS_EMPTY)
 
     def _detect_n_shards(self) -> int:
-        """n_shards from index_meta (written by the builder), falling back
-        to listing the postings shard directories."""
+        """n_shards of the PINNED snapshot: the manifest records the
+        committing builder's value (snapshot-isolated — index_meta is
+        overwritten at the START of a build, so reading it mid-build
+        could hand a different modulus to the doc→shard cogroup math);
+        pre-manifest layouts fall back to index_meta, then to listing the
+        postings shard directories."""
+        v = (self._manifest or {}).get("n_shards")
+        if v is not None:
+            return int(v)
         meta = f"{self.index_dir}/index_meta"
         if fs.exists(meta):
             rows = self.spark.read.parquet(_sp(meta)).collect()
@@ -203,7 +238,7 @@ class SearchEngine:
             return self.spark.read.option("basePath", _sp(d)).parquet(
                 *[_sp(p) for p in dirs])
         if self._committed is not None:  # empty snapshot: empty attrs
-            return self.spark.read.parquet(_sp(d)).filter(F.lit(False))
+            return self._empty_rel(d, self._ATTRS_EMPTY)
         return self.spark.read.parquet(_sp(d))
 
     def _allowed_docs(self, category, date_from, date_to, publisher=None):
@@ -350,6 +385,8 @@ class SearchEngine:
         terms = sorted(set(analyze_search(query_text)))
         if not terms:
             return []
+        if self._committed == []:  # empty snapshot: nothing to score
+            return []
         avgdls = {f: self.corpus_stats[f][1] for f in self.corpus_stats}
         scorer = score_blockmax if prune else score_exhaustive
         allowed_flat: np.ndarray | None = None
@@ -364,7 +401,7 @@ class SearchEngine:
                 from ..index.build import shard_expr
 
                 allowed_df = self.spark.createDataFrame(
-                    [(int(i),) for i in allowed_flat], "doc_id long"
+                    pd.DataFrame({"doc_id": allowed_flat})
                 ).select(
                     "doc_id",
                     shard_expr(self.n_shards).cast("int").alias("shard"),
@@ -409,7 +446,16 @@ class SearchEngine:
                 try:
                     rows = self._postings_rows_local(terms)
                 except Exception:
-                    # fall back to the one-job Spark path (e.g. remote FS)
+                    # fall back to the one-job Spark path (e.g. a remote
+                    # FS pyarrow can't reach) — but SAY so: a corrupt
+                    # footer silently costing a Spark job per query is an
+                    # operator problem, not a code path
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "local postings lookup failed; falling back to "
+                        "the Spark path for this query", exc_info=True,
+                    )
                     collected = self._postings_rows(terms).collect()
                     rows = [
                         (r["field"], r["term"], int(r["df"]),

@@ -228,7 +228,10 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
 
     # --- prune loop -------------------------------------------------------
     seg_order = np.argsort(-seg_ub, kind="stable")
-    theta = -np.inf
+    # an explicit min_score seeds the pruning threshold: a segment whose
+    # upper bound is below it cannot contribute a doc that survives the
+    # final min_score filter, so skipping it is exact (not just safe)
+    theta = -np.inf if min_score is None else float(min_score)
     heap_ids = np.zeros(0, dtype=np.int64)
     heap_scores = np.zeros(0, dtype=np.float64)
     pos = 0

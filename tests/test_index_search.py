@@ -30,13 +30,14 @@ def index_dir(spark, work_dir):
 def oracle(spark, index_dir):
     docs = (
         spark.read.parquet(f"{index_dir}/docs")
-        .select("doc_id", "title", "text", "category", "published_at")
+        .select("doc_id", "title", "text", "category", "published_at",
+                "publisher")
         .toPandas()
     )
     return BruteForceIndex.build(
         [(int(r.doc_id), r.title, r.text) for r in docs.itertuples()],
         meta={
-            int(r.doc_id): (r.category, r.published_at)
+            int(r.doc_id): (r.category, r.published_at, r.publisher)
             for r in docs.itertuples()
         },
     )
@@ -358,3 +359,75 @@ def test_extended_identity_survives_compaction(spark, tmp_path):
         exp = _norm(oracle2.search(q["query_text"], k=q["k"]))
         assert _norm(engine2.search(q["query_text"], k=q["k"],
                                     mode="local")) == exp, q["query_text"]
+
+
+def test_publisher_filter_rank_identity(spark, index_dir, oracle):
+    """Publisher filter context now has a brute-force ground truth: rank
+    AND score identity, and scores equal the unfiltered search's for
+    surviving docs (filter context never changes df/idf)."""
+    engine = SearchEngine(spark, index_dir)
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    pubs = [r["publisher"] for r in
+            docs.select("publisher").distinct().collect()
+            if r["publisher"]]
+    assert pubs
+    hit_any = 0
+    for q in make_query_set()[:4]:
+        for pub in sorted(pubs)[:2]:
+            got = engine.search(q["query_text"], k=10, mode="local",
+                                publisher=pub)
+            exp = oracle.search(q["query_text"], k=10, publisher=pub)
+            assert _norm(got) == _norm(exp), (q["query_text"], pub)
+            hit_any += bool(exp)
+            unfiltered = dict(engine.search(q["query_text"], k=100,
+                                            mode="local"))
+            for d, s in got:
+                assert s == unfiltered[d]
+    assert hit_any  # not vacuously green
+
+
+def test_min_score_seeds_wand_theta(spark, index_dir, oracle):
+    """min_score seeds the block-max pruning threshold: results stay
+    identical to exhaustive + oracle at every cutoff."""
+    engine = SearchEngine(spark, index_dir)  # fresh: resume tests above
+    # rewrite postings files under the module-scoped engine
+    q = make_query_set()[0]["query_text"]
+    base = engine.search(q, k=50, mode="local")
+    assert base
+    for cutoff in (base[0][1] + 1.0, base[len(base) // 2][1], 0.0):
+        wand = engine.search(q, k=50, min_score=cutoff, mode="local")
+        exh = engine.search(q, k=50, min_score=cutoff, mode="local",
+                            prune=False)
+        assert _norm(wand) == _norm(exh)
+        assert _norm(wand) == _norm(oracle.search(q, k=50,
+                                                  min_score=cutoff))
+        assert all(s >= cutoff for _, s in wand)
+
+
+def test_empty_snapshot_opens_after_vacuum(spark, tmp_path):
+    """compact-to-empty then vacuum leaves NO gen dirs — the engine must
+    still open (explicit empty-relation schemas) and return no hits."""
+    import os
+
+    from baram_spark.index.builder import IndexBuilder
+
+    out = f"{tmp_path}/empty_idx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 60, partitions=2), fingerprint="empty")
+    all_ids = [int(r["doc_id"]) for r in
+               spark.read.parquet(f"{out}/docs").select("doc_id").collect()]
+    b.delete_docs(all_ids)
+    b.compact(fingerprint="empty-c")
+    assert b.committed_generations() == []
+    b.vacuum(retain_snapshots=1)
+    # really nothing left on disk for schema inference
+    assert not any(
+        d.startswith("gen=")
+        for d in (os.listdir(f"{out}/postings")
+                  if os.path.isdir(f"{out}/postings") else [])
+    )
+    engine = SearchEngine(spark, out)
+    q = make_query_set()[0]["query_text"]
+    assert engine.search(q, k=10, mode="local") == []
+    assert engine.search(q, k=10, mode="distributed") == []
+    assert engine._docs().count() == 0

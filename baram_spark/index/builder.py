@@ -463,6 +463,16 @@ class IndexBuilder:
         the filter keys makes min-max pruning actually skip row groups, so
         a filtered query's candidate scan stays proportional to the
         selected slice at 100 TB, not to the corpus."""
+        import uuid
+
+        final = f"{self.doc_attrs_path}/gen={gen}"
+        if fs.exists(final):  # completed by an earlier run (atomic marker)
+            return
+        # clear any crashed attempt's staging leftovers for this gen
+        for d in fs.listdir(self.doc_attrs_path):
+            if d.startswith(f".stage_{gen}_"):
+                fs.rmtree(f"{self.doc_attrs_path}/{d}")
+        staging = f"{self.doc_attrs_path}/.stage_{gen}_{uuid.uuid4().hex}"
         (
             docs.select(
                 "doc_id",
@@ -476,8 +486,14 @@ class IndexBuilder:
             .repartition(max(self.n_shards // 4, 1))
             .sortWithinPartitions("category", "publisher", "published_at")
             .write.mode("overwrite")
-            .parquet(_sp(f"{self.doc_attrs_path}/gen={gen}"))
+            .parquet(_sp(staging))
         )
+        # the rename IS the stage's commit marker: a crash mid-write
+        # leaves only the staging dir, so the dir-existence checks in
+        # resume repair and SearchEngine._doc_attrs never see a partial
+        # attribute index (attrs has no ledger row — the final dir's
+        # existence is the record)
+        fs.rename(staging, final)
 
     def _stage_embeddings(self, docs, gen, stage, fingerprint) -> None:
         """Build-time doc embeddings (the reference embeds at index time,
@@ -515,7 +531,9 @@ class IndexBuilder:
         prior: dict[tuple[int, str], tuple[int, int, float]] = {}
         gm_read = self._latest_stats_dir(self.gen_meta_path)
         if self._exists(gm_read):
-            for r in self.spark.read.parquet(_sp(gm_read)).collect():
+            # tiny table: driver-side pyarrow read, no Spark job on the
+            # build critical path
+            for r in fs.read_parquet(gm_read).to_pylist():
                 if (r["gen"] != gen and int(r["gen"]) not in drop
                         and int(r["gen"]) in committed):
                     prior[(r["gen"], r["field"])] = (
@@ -533,13 +551,20 @@ class IndexBuilder:
         avgdl_now = {
             f: (dl / n if n else 0.0) for f, (n, dl) in totals.items()
         }
+        meta_rows = [
+            (g, f, n, dl, p) for (g, f), (n, dl, p) in prior.items()
+        ] + [(gen, f, n, dl, avgdl_now[f]) for g, f, n, dl in gen_rows]
+        self._write_stats_tables(meta_rows, totals)
+
+    def _write_stats_tables(self, meta_rows, totals) -> None:
+        """Write fresh gen_meta + corpus_stats versions from folded rows."""
         import pyarrow as pa
 
         from .lineage import write_small_parquet
 
-        meta_rows = [
-            (g, f, n, dl, p) for (g, f), (n, dl, p) in prior.items()
-        ] + [(gen, f, n, dl, avgdl_now[f]) for g, f, n, dl in gen_rows]
+        avgdl_now = {
+            f: (dl / n if n else 0.0) for f, (n, dl) in totals.items()
+        }
         write_small_parquet(
             self._next_stats_dir(self.gen_meta_path),
             pa.table(
@@ -572,6 +597,68 @@ class IndexBuilder:
             ),
             overwrite=True,
         )
+
+    def _stats_coverage_ok(self, gens: list[int]) -> bool:
+        """True iff the NEWEST gen_meta version covers exactly ``gens`` —
+        the pre-commit guard against a concurrent writer's stats version
+        (which excludes OUR generation) being the latest at commit time."""
+        gm = self._latest_stats_dir(self.gen_meta_path)
+        have: set[int] = set()
+        if fs.exists(gm):
+            try:
+                have = {
+                    int(g)
+                    for g in fs.read_parquet(gm, columns=["gen"])
+                    ["gen"].to_pylist()
+                }
+            except Exception:
+                return False
+        return have == {int(g) for g in gens}
+
+    def _refold_stats(self, gens: list[int]) -> None:
+        """Rebuild gen_meta/corpus_stats for exactly ``gens`` by gathering
+        each generation's per-field rows from the NEWEST stats version
+        that carries it (concurrent appends each wrote a version missing
+        the other's generation; the union exists across versions). The
+        per-gen avgdl_pack is preserved — it records what that gen's
+        postings were packed with, which a refold must not rewrite."""
+        import re
+
+        needed = {int(g) for g in gens}
+        rows: dict[tuple[int, str], tuple[int, int, float]] = {}
+        versions = sorted(
+            (
+                int(m.group(1))
+                for d in fs.listdir(self.gen_meta_path)
+                if (m := re.match(r"v_(\d+)$", d))
+            ),
+            reverse=True,
+        )
+        found: set[int] = set()
+        for v in versions:
+            if found >= needed:
+                break
+            try:
+                tbl = fs.read_parquet(f"{self.gen_meta_path}/v_{v}")
+            except Exception:
+                continue
+            for r in tbl.to_pylist():
+                g = int(r["gen"])
+                if g in needed and g not in found and \
+                        (g, r["field"]) not in rows:
+                    rows[(g, r["field"])] = (
+                        int(r["n_docs"]), int(r["dl_sum"]),
+                        float(r["avgdl_pack"]),
+                    )
+            found |= {g for (g, _f) in rows}
+        totals: dict[str, tuple[int, int]] = {}
+        for (_g, f), (n, dl, _p) in rows.items():
+            tn, tdl = totals.get(f, (0, 0))
+            totals[f] = (tn + n, tdl + dl)
+        meta_rows = [
+            (g, f, n, dl, p) for (g, f), (n, dl, p) in rows.items()
+        ]
+        self._write_stats_tables(meta_rows, totals)
 
     def _salt_plan(self, gen: int) -> dict:
         """Salt planning needs only the Zipf head — a 5% sample finds it at
@@ -633,18 +720,27 @@ class IndexBuilder:
             todo[i : i + self.shards_per_job]
             for i in range(0, len(todo), self.shards_per_job)
         ]
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         gen_doc_terms = f"{self.doc_terms_path}/gen={gen}"
         gen_postings = f"{self.postings_path}/gen={gen}"
 
         def build_group(shard_ids: list[int]) -> int:
             t0 = time.time()
+            # a tiny wave (e.g. two re-indexed urls after a compact freed
+            # them) may leave some shards with NO doc_terms rows — the
+            # partitioned writer creates no dir for them. Empty shards
+            # are complete with zero postings, not read errors.
+            present = [k for k in shard_ids
+                       if fs.exists(f"{gen_doc_terms}/shard={k}")]
+            if not present:
+                self.ledger.record_many(
+                    [(stage_prefix, k, fingerprint, 0, 0, 0.0)
+                     for k in shard_ids]
+                )
+                return 0
             shard_terms = (
                 self.spark.read.option("basePath", _sp(gen_doc_terms))
                 .parquet(*[_sp(f"{gen_doc_terms}/shard={k}")
-                           for k in shard_ids])
+                           for k in present])
             )
             # the LAST exchange inside build_postings is keyed on
             # (shard, term) at this partition count — the write needs no
@@ -667,6 +763,10 @@ class IndexBuilder:
                     ],
                 )
                 .write.mode("overwrite")
+                # dynamic scope ONLY here (a group writes a SUBSET of
+                # shards; static overwrite would wipe the others) — as a
+                # per-write option, never a session-wide conf mutation
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("shard")
                 .parquet(_sp(gen_postings))
             )
@@ -823,19 +923,29 @@ class IndexBuilder:
         tmp = f"{self.out}/._manifest.{uuid.uuid4().hex}.tmp"
         fs.write_text(tmp, json.dumps(m))
         fs.rename(tmp, f"{self.out}/_manifest.json")
-        # GC stats versions no snapshot can reference: keep the committed
-        # version plus ONE predecessor (engines pinned to the previous
-        # manifest may still lazily read their term_stats).
+        # GC stats versions no snapshot can reference: keep everything
+        # from the PREVIOUS manifest's committed pointer onward (a
+        # multi-generation compact writes several versions before its one
+        # commit — blindly keeping 'last 2' would delete the version a
+        # pinned reader resolves), else fall back to last-2.
         import re
 
-        for base in (self.corpus_stats_path, self.gen_meta_path,
-                     self.term_stats_path):
+        for name, base in (
+            ("corpus_stats", self.corpus_stats_path),
+            ("gen_meta", self.gen_meta_path),
+            ("term_stats", self.term_stats_path),
+        ):
             vs = sorted(
                 int(mt.group(1))
                 for d in fs.listdir(base)
                 if (mt := re.match(r"v_(\d+)$", d))
             )
-            for v in vs[:-2]:
+            prev_v = (prev or {}).get(f"{name}_v")
+            if prev_v is not None:
+                drop = [v for v in vs if v < int(prev_v)]
+            else:
+                drop = vs[:-2]
+            for v in drop:
                 fs.rmtree(f"{base}/v_{v}")
         # GC at commit reclaims ONLY generations that just fell out of the
         # retained history (superseded by merge/compact and past retention).
@@ -860,6 +970,8 @@ class IndexBuilder:
             base = f"{self.out}/{t}"
             for d in fs.listdir(base):
                 if d.startswith("gen=") and int(d.split("=")[1]) not in referenced:
+                    fs.rmtree(f"{base}/{d}")
+                elif d.startswith(".stage_"):  # crashed attrs staging
                     fs.rmtree(f"{base}/{d}")
 
     def _remove_gen_dirs(self, gen: int) -> None:
@@ -1029,6 +1141,13 @@ class IndexBuilder:
                     bloom=bloom if attempt == 0 else None,
                 )
             except SnapshotConflictError:
+                # concurrency evidence: another writer committed urls our
+                # caller's filter has never seen. The filter is no longer
+                # a superset of the committed urls, so it must lose
+                # authority for FUTURE waves too (the caller re-seeds or
+                # falls back to the anti-join), not just this retry.
+                if bloom is not None:
+                    bloom.authoritative = False
                 attempt += 1
                 if attempt > occ_retries:
                     raise
@@ -1092,6 +1211,9 @@ class IndexBuilder:
                 self.ledger.invalidate(fingerprint)
                 done = set()
                 gen = self._next_gen()
+                if bloom is not None:  # same concurrency evidence: the
+                    # caller's filter may miss the other writer's urls
+                    bloom.authoritative = False
                 bloom = None
         else:
             gen = self._next_gen()
@@ -1129,9 +1251,12 @@ class IndexBuilder:
         if metrics.get("docs_out") == 0 or not self._exists(
             f"{self.docs_path}/gen={gen}"
         ):
-            # nothing new in this wave: drop the empty generation dir and
-            # record the no-op (the anti-join prefilter did its job)
-            fs.rmtree(f"{self.docs_path}/gen={gen}")
+            # nothing new in this wave: drop EVERY staged dir of the
+            # never-committed generation (the fused stage may have written
+            # doc_terms/doc_attrs/embeddings before docs_out was known —
+            # leaving them would accumulate one orphan set per empty wave
+            # of a caught-up stream) and record the no-op
+            self._remove_gen_dirs(gen)
             metrics["postings_built"] = 0
             self._commit_manifest(committed_before, base_sid=base_sid)
             return metrics
@@ -1139,19 +1264,46 @@ class IndexBuilder:
         gens = sorted(set(committed_before) | {gen})
         self._stage_term_stats(stage("term_stats"), fingerprint, done,
                                metrics, gens=gens)
+        # pre-commit guard: a concurrent append's stats version (folded
+        # WITHOUT our generation) may be the newest on disk — or on an
+        # OCC retry, our resumed stage never refolded over the new union.
+        # Either way the committed pointer must cover exactly `gens`.
+        if not self._stats_coverage_ok(gens):
+            self._refold_stats(gens)
+            metrics["stats_refolded"] = True
         self._commit_manifest(gens, base_sid=base_sid)
         return metrics
 
     # -- deletion (delete_by_query analog, mod.rs:768-818) -----------------
     def deleted_ids(self) -> list[int]:
         """Current tombstone set (sorted doc_ids)."""
-        if not fs.exists(self.deletes_path):
-            return []
-        try:
-            tbl = fs.read_parquet(self.deletes_path)
-        except Exception:
-            return []
-        return sorted(set(tbl["doc_id"].to_pylist()))
+        return self._read_tombstones()[0]
+
+    def _read_tombstones(self) -> tuple[list[int], list[str]]:
+        """(sorted tombstoned doc_ids, the parquet FILES that carry them).
+
+        compact/merge must clear exactly the files they READ — a
+        delete_docs() racing the maintenance job appends a new file, and
+        wiping the whole dir afterwards would silently resurrect that
+        doc (its tombstone never applied, never preserved)."""
+        names = [f for f in fs.listdir(self.deletes_path)
+                 if f.endswith(".parquet")]
+        ids: set[int] = set()
+        for name in names:
+            try:
+                tbl = fs.read_parquet(f"{self.deletes_path}/{name}")
+            except Exception:
+                continue
+            ids.update(int(i) for i in tbl["doc_id"].to_pylist())
+        return sorted(ids), names
+
+    def _clear_tombstones(self, files: list[str]) -> None:
+        """Remove exactly the applied tombstone files (see above)."""
+        for name in files:
+            try:
+                fs.remove(f"{self.deletes_path}/{name}")
+            except FileNotFoundError:
+                pass
 
     def delete_docs(self, doc_ids) -> int:
         """Tombstone documents by id; returns how many NEW tombstones were
@@ -1208,7 +1360,7 @@ class IndexBuilder:
         import time as _time
 
         base_sid = self._begin()
-        deleted = self.deleted_ids()
+        deleted, del_files = self._read_tombstones()
         result = {"tombstones": len(deleted), "compacted_gens": [],
                   "dropped_gens": [], "new_gens": []}
         if not deleted:
@@ -1265,8 +1417,10 @@ class IndexBuilder:
                                    gens=new_committed)
         # commit FIRST: a crash before the manifest swap must leave the
         # old snapshot live WITH its tombstones still excluding docs
+        if not self._stats_coverage_ok(new_committed):
+            self._refold_stats(new_committed)
         self._commit_manifest(new_committed, base_sid=base_sid)
-        fs.rmtree(self.deletes_path)
+        self._clear_tombstones(del_files)
         return result
 
     def merge_generations(self, fingerprint: str | None = None) -> dict:
@@ -1289,7 +1443,7 @@ class IndexBuilder:
 
         base_sid = self._begin()
         gens = self.committed_generations()
-        deleted = self.deleted_ids()
+        deleted, del_files = self._read_tombstones()
         if len(gens) <= 1 and not deleted:
             return {"merged_gens": gens, "docs": None}
         fp = fingerprint or f"merge-{int(_time.time())}"
@@ -1315,9 +1469,8 @@ class IndexBuilder:
         gm_read = self._latest_stats_dir(self.gen_meta_path)
         if self._exists(gm_read):
             old_meta_gens = {
-                int(r["gen"])
-                for r in self.spark.read.parquet(_sp(gm_read))
-                .select("gen").distinct().collect()
+                int(g) for g in
+                fs.read_parquet(gm_read, columns=["gen"])["gen"].to_pylist()
             }
         self._stage_tokenize_from(merged, new_gen, f"doc_terms.{fp}", fp, {},
                                   drop_gens=old_meta_gens - {new_gen})
@@ -1338,8 +1491,10 @@ class IndexBuilder:
             )
         self._stage_term_stats(f"term_stats.{fp}", fp, set(), {},
                                gens=[new_gen])
+        if not self._stats_coverage_ok([new_gen]):
+            self._refold_stats([new_gen])
         self._commit_manifest([new_gen], base_sid=base_sid)
-        fs.rmtree(self.deletes_path)
+        self._clear_tombstones(del_files)
         return {"merged_gens": gens, "new_gen": new_gen,
                 "tombstones_applied": len(deleted),
                 "docs": merged.count()}

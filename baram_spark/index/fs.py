@@ -78,10 +78,14 @@ def unregister_filesystem(scheme: str) -> None:
 
 
 def _strip_file(p: str) -> str:
-    # Spark emits file:/x, file:///x and file://host/x variants
+    # Spark emits file:/x, file:///x and file://host/x variants; an
+    # authority component (file://HOST/x) is dropped, not treated as a
+    # path segment
     p = p[len("file:"):]
-    while p.startswith("//"):
-        p = p[1:]
+    if p.startswith("//"):
+        rest = p[2:]
+        slash = rest.find("/")
+        p = rest[slash:] if slash >= 0 else "/"
     return p or "/"
 
 

@@ -59,9 +59,19 @@ def stream_build(
     then skip the committed-urls anti-join entirely — the common
     forward-crawl case. If inserts outgrow the seeded capacity the
     filter loses authority and every batch falls back to the anti-join
-    (correctness never depends on the bloom)."""
+    (correctness never depends on the bloom). A filter that lost
+    authority mid-stream (capacity overflow, or concurrency evidence
+    from an OCC conflict — a second writer committed urls the filter
+    never saw) is RE-SEEDED from the committed urls after the batch.
+
+    ``n_shards`` applies only to a NEW index; an existing index keeps
+    ITS stored shard count (re-sharding an index mid-stream would break
+    the engine's doc→shard modulus for older generations)."""
+    from ..index.builder import index_n_shards
+
     builder = IndexBuilder(
-        spark, index_dir, n_shards=n_shards, salt_threshold=salt_threshold
+        spark, index_dir, n_shards=index_n_shards(index_dir, n_shards),
+        salt_threshold=salt_threshold,
     )
     bloom = None
     if bloom_prefilter:
@@ -91,13 +101,31 @@ def stream_build(
         checkpoint_dir.encode("utf-8"), digest_size=4
     ).hexdigest()
 
+    state = {"bloom": bloom}
+
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
+        bloom = state["bloom"]
         builder.build_incremental(
             batch_df, fingerprint=f"stream-{stream_id}-batch-{batch_id}",
             occ_retries=occ_retries, bloom=bloom,
         )
+        if bloom is not None and not bloom.authoritative:
+            # lost authority (overflow, or a concurrent writer's commit
+            # surfaced through an OCC conflict): the filter is no longer
+            # a committed-urls superset. Re-seed from the NOW-committed
+            # urls — one distributed pass — so later batches regain the
+            # fast-reject tier instead of anti-joining forever.
+            from ..index.builder import read_gen_table
+
+            bloom = CommittedUrlBloom.seed(
+                read_gen_table(spark, index_dir, "docs",
+                               gens=builder.committed_generations())
+                .select("url")
+            )
+            state["bloom"] = bloom
+            return  # the seed already covers this batch's committed urls
         if bloom is not None:
             # feed the fast-reject tier AFTER the commit so a failed
             # batch never poisons the filter. Small batches take the

@@ -536,3 +536,148 @@ def test_fully_resumed_build_repairs_missing_doc_attrs(spark, tmp_path):
     # the attribute index is usable again (None would mean the silent
     # fallback to full docs scans)
     assert engine._doc_attrs() is not None
+
+
+def test_tombstones_added_during_merge_survive(spark, tmp_path):
+    """A delete_docs() racing a merge must keep its tombstone: the
+    maintenance job clears exactly the tombstone FILES it read, never the
+    whole deletes dir."""
+    out = f"{tmp_path}/race_idx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 150, partitions=2), fingerprint="race")
+    b.build_incremental(pages_df(spark, 260, partitions=2),
+                        fingerprint="race2")
+    q = make_query_set()[0]["query_text"]
+    hits = SearchEngine(spark, out).search(q, k=3, mode="local")
+    early, late = hits[0][0], hits[1][0]
+    b.delete_docs([early])
+
+    # inject the racing delete between the merge's tombstone read and its
+    # commit (hook the stats stage, which runs mid-merge)
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    orig = b2._stage_term_stats
+    fired = {"n": 0}
+
+    def hooked(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            IndexBuilder(spark, out, n_shards=2).delete_docs([late])
+        return orig(*a, **kw)
+
+    b2._stage_term_stats = hooked
+    res = b2.merge_generations(fingerprint="race-merge")
+    assert res["tombstones_applied"] == 1  # only `early` was in its read
+    # the racing tombstone SURVIVED the merge's cleanup...
+    assert IndexBuilder(spark, out, n_shards=2).deleted_ids() == [late]
+    # ...and still excludes the doc from search
+    got = [d for d, _ in SearchEngine(spark, out).search(q, k=10,
+                                                         mode="local")]
+    assert early not in got and late not in got
+
+
+def test_stats_coverage_refold_on_concurrent_append(spark, tmp_path):
+    """Writer A committing while writer B's stats version (folded WITHOUT
+    A's generation) is newest on disk: the pre-commit coverage guard
+    refolds, so committed corpus stats always cover exactly the committed
+    generations and BM25 stays oracle-identical."""
+    out = f"{tmp_path}/cover_idx"
+    b1 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b1.build(pages_df(spark, 120, partitions=2), fingerprint="c0")
+
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    fired = {"n": 0}
+    orig = b1._stage_term_stats
+
+    def hooked(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # concurrent writer commits a DISJOINT wave mid-flight,
+            # leaving ITS stats (without b1's staged gen) newest on disk
+            b2.build_incremental(pages_df(spark, 170, partitions=2),
+                                 fingerprint="c-conc")
+        return orig(*a, **kw)
+
+    b1._stage_term_stats = hooked
+    m = b1.build_incremental(pages_df(spark, 230, partitions=2),
+                             fingerprint="c1", occ_retries=2)
+    gens = b1.committed_generations()
+    assert len(gens) == 3
+    # committed gen_meta covers every committed generation
+    from baram_spark.index import fs as fsmod
+
+    eng = SearchEngine(spark, out)
+    gm = eng._stats_path("gen_meta")
+    covered = {
+        int(g) for g in
+        fsmod.read_parquet(gm, columns=["gen"])["gen"].to_pylist()
+    }
+    assert covered == set(gens), (covered, gens)
+    # and the engine ranks identically to brute force over the union
+    q = make_query_set()[0]["query_text"]
+    assert _norm(eng.search(q, k=10, mode="local")) == _norm(
+        _oracle(spark, out).search(q, k=10)
+    )
+
+
+def test_empty_wave_leaves_no_orphan_dirs(spark, tmp_path):
+    """A fully-deduped wave removes EVERY staged dir of its generation
+    (doc_terms/doc_attrs too, not just docs)."""
+    import os
+
+    out = f"{tmp_path}/orphan_idx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 100, partitions=2), fingerprint="o0")
+    # identical wave: everything dedupes away
+    m = b.build_incremental(pages_df(spark, 100, partitions=2),
+                            fingerprint="o1")
+    assert m["postings_built"] == 0
+    for t in ("docs", "doc_terms", "doc_attrs", "postings", "embeddings"):
+        base = f"{out}/{t}"
+        gens = [d for d in (os.listdir(base) if os.path.isdir(base) else [])
+                if d.startswith("gen=")]
+        assert gens in ([], ["gen=0"]), (t, gens)
+
+
+def test_stream_build_keeps_stored_shard_count(spark, tmp_path):
+    """stream_build against an EXISTING index must use the index's stored
+    n_shards, not the caller's default — re-sharding would break the
+    engine's doc→shard modulus for old generations."""
+    from baram_spark.streaming.ingest import stream_build
+
+    out = f"{tmp_path}/shard_idx"
+    b = IndexBuilder(spark, out, n_shards=4, salt_threshold=10**9)
+    b.build(pages_df(spark, 100, partitions=2), fingerprint="s0")
+
+    pages_dir = f"{tmp_path}/pages"
+    pages_df(spark, 160, partitions=2).write.parquet(pages_dir)
+    stream_build(spark, pages_dir, out, f"{tmp_path}/ckpt", n_shards=8)
+    # new generation kept the 4-shard layout
+    import os
+
+    gens = sorted(d for d in os.listdir(f"{out}/postings")
+                  if d.startswith("gen="))
+    assert len(gens) == 2
+    newest = f"{out}/postings/{gens[-1]}"
+    shards = {d for d in os.listdir(newest) if d.startswith("shard=")}
+    assert shards <= {f"shard={i}" for i in range(4)}
+    assert SearchEngine(spark, out).n_shards == 4
+
+
+def test_tiny_wave_with_empty_shards_builds(spark, tmp_path):
+    """A wave so small that some shards receive NO doc_terms rows (e.g. a
+    single compact-freed url re-indexed into a 4-shard layout) must build
+    cleanly — empty shards complete with zero postings instead of
+    crashing the group read on a missing shard dir."""
+    out = f"{tmp_path}/tiny_idx"
+    b = IndexBuilder(spark, out, n_shards=4, salt_threshold=10**9)
+    b.build(pages_df(spark, 100, partitions=2), fingerprint="t0")
+    # 103 pages: ~2-3 new urls -> guaranteed empty shards among 4
+    m = b.build_incremental(pages_df(spark, 103, partitions=2),
+                            fingerprint="t1")
+    assert m["docs_out"] >= 1 and m["postings_built"] > 0, m
+    assert b.committed_generations() == [0, 1]
+    engine = SearchEngine(spark, out)
+    q = make_query_set()[0]["query_text"]
+    assert _norm(engine.search(q, k=10, mode="local")) == _norm(
+        _oracle(spark, out).search(q, k=10)
+    )

@@ -981,7 +981,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    ROUND(CASE WHEN nt = 0 THEN 0.0
-                         ELSE CAST(length(tt) - nt + 1 AS DOUBLE)
+                         ELSE CAST(list_sum(list_transform(
+                                  string_split(tt, ' '), x -> length(x)))
+                              AS DOUBLE)
                               / greatest(nt, 1) END, 6) AS avg_word_len,
                    ROUND(CAST(CASE WHEN nt = 0 THEN 0
                          ELSE len(list_distinct(string_split(tt, ' '))) END AS DOUBLE)

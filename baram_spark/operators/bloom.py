@@ -97,6 +97,28 @@ class _Bloom:
             (word >> (pos % np.uint64(64))) & np.uint64(1)
         ))
 
+    def membership_batch(self, keys) -> np.ndarray:
+        """Vectorized batch lookup: one blake2b per key (unavoidable for
+        string hashing) but ALL probe-position math and bit gathering in
+        a single (n, k) numpy pass — the Arrow-UDF hot path pays no
+        per-key numpy temporaries."""
+        import hashlib
+
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        for i, k in enumerate(keys):
+            d = hashlib.blake2b(k.encode("utf-8"), digest_size=16).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little") | 1
+        i = np.arange(self.k, dtype=np.uint64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)
+        words = self.bits[pos // np.uint64(64)]
+        hit = (words >> (pos % np.uint64(64))) & np.uint64(1)
+        return hit.all(axis=1)
+
 
 class RotatingBloom:
     """Double-buffered bloom with the reference's rotation policy
@@ -141,11 +163,14 @@ class RotatingBloom:
         return self.previous is not None and self.previous.might_contain(key)
 
     def membership(self, keys) -> np.ndarray:
-        """Vectorized batch lookup (the Arrow-UDF hot path)."""
-        return np.fromiter(
-            (self.might_contain(k) for k in keys), dtype=bool,
-            count=len(keys),
-        )
+        """Batch lookup (the Arrow-UDF hot path): one vectorized pass per
+        live filter generation."""
+        keys = list(keys)
+        out = self.active.membership_batch(keys)
+        if self.previous is not None:
+            np.logical_or(out, self.previous.membership_batch(keys),
+                          out=out)
+        return out
 
 
 class CommittedUrlBloom:
@@ -239,7 +264,4 @@ class CommittedUrlBloom:
         return self.bloom.might_contain(key)
 
     def membership(self, keys) -> np.ndarray:
-        return np.fromiter(
-            (self.bloom.might_contain(k) for k in keys), dtype=bool,
-            count=len(keys),
-        )
+        return self.bloom.membership_batch(list(keys))

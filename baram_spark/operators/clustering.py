@@ -132,7 +132,10 @@ def cluster_embeddings(
         "bucket",
         F.col(id_col).alias("doc_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    ).persist()  # consumed twice: the skew count below + the cluster job
+    )  # consumed twice (skew count + cluster job) but NOT cached: the
+    # projection is one narrow matmul pass, and a .persist() here would
+    # pin a full corpus copy in executor storage for the session lifetime
+    # (the maintenance loop re-clusters every round)
 
     # split pathologically skewed buckets with a SECOND, independent LSH
     # (seed-shifted planes): tiny agg over bucket ids, then a sub-bucket

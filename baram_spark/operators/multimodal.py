@@ -1174,8 +1174,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     # ticks through the duration INCLUDING tick 0, like
                     # the MP4 path — a short clip must not vanish from
                     # the output just because its container is stubbed
-                    n = min(max_frames,
-                            max(int((dur or 0) // every_ms), 0) + 1)
+                    # NULL int32 arrives as float NaN through Arrow —
+                    # and NaN is truthy, so `dur or 0` keeps it
+                    d = 0 if dur is None or dur != dur else dur
+                    n = min(max_frames, max(int(d // every_ms), 0) + 1)
                     for i in range(n):
                         out["media_id"].append(mid)
                         out["frame_idx"].append(i)

@@ -172,8 +172,18 @@ def kmeans_spherical(mat: np.ndarray, n_cells: int,
     """Spherical k-means(-lite) on L2-normalized rows — the IVF coarse
     quantizer shared by the distributed path (:func:`ivf_fit`) and the
     serving tier's node-resident cell index. Deterministic seed."""
+    if mat.ndim != 2 or len(mat) == 0:
+        raise ValueError(
+            "kmeans_spherical: no vectors to fit (empty embeddings "
+            "relation or empty sample)"
+        )
     norms = np.linalg.norm(mat, axis=1)
     mat = mat[norms > 0] / norms[norms > 0, None]
+    if len(mat) == 0:
+        raise ValueError(
+            "kmeans_spherical: every sampled vector is zero-norm — "
+            "cosine cells are undefined for zero vectors"
+        )
     rng = np.random.default_rng(seed)
     n_cells = min(n_cells, len(mat))
     cent = mat[rng.choice(len(mat), n_cells, replace=False)].copy()

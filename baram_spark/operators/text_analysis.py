@@ -61,11 +61,15 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
             F.greatest(F.length(text_col), F.lit(1)),
             6,
         ).alias("punct_ratio"),
-        # word length from the TRIMMED text, else padding whitespace
-        # counts as word characters; zero tokens → 0.0, not 1.0
+        # mean of ACTUAL token lengths (summing lengths, not the
+        # len(text)-n+1 shortcut, which overcounts when tokens are
+        # separated by runs of whitespace); zero tokens → 0.0, not 1.0
         F.round(
             F.when(n_toks == 0, F.lit(0.0)).otherwise(
-                (F.length(trimmed) - n_toks + 1)
+                F.aggregate(
+                    toks, F.lit(0),
+                    lambda acc, x: acc + F.length(x),
+                ).cast("double")
                 / F.greatest(n_toks, F.lit(1))
             ),
             6,

@@ -123,7 +123,17 @@ def chunk_text_sentences(
     overlap_tokens: int = DEFAULT_OVERLAP,
     min_chunk_tokens: int = DEFAULT_MIN_CHUNK,
 ) -> list[TextChunk]:
-    """Sentence-preserving chunking (tokenizer.rs:262-327 semantics)."""
+    """Sentence-preserving chunking (tokenizer.rs:262-327 semantics).
+
+    FAITHFUL QUIRK — do not "fix": like the reference, the running chunk
+    is built as ``sentence + ' '`` joins (so its text is NOT a substring
+    of the source when sentences carry leading whitespace), and
+    ``start_pos``/``end_pos`` are back-computed from the join-string
+    length (tokenizer.rs:283-298: ``chunk_start = chunk_end -
+    current_chunk.len()``) — they do NOT reliably index the original
+    text. Consumers needing source-exact offsets must use the
+    token-window chunker (:func:`chunk_text`), whose offsets come from
+    real token positions (tokenizer.rs:215-223)."""
     sentences = split_sentences(text)
     chunks: list[TextChunk] = []
     current = ""

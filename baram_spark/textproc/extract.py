@@ -328,6 +328,8 @@ def parse_with_fallback(html: str, url: str) -> dict | None:
     result = _parse_format(doc, first_try)
     if result is None:
         for f in _FALLBACK_ORDER:
+            if f == first_try:  # already failed above — identical input,
+                continue        # identical None; skip the re-parse
             result = _parse_format(doc, f)
             if result is not None:
                 break

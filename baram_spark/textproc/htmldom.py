@@ -290,7 +290,6 @@ class _Builder(HTMLParser):
         self.root = Element("[document]", {}, 0)
         self.root.end = len(source)
         self.stack = [self.root]
-        self._skip_depth = 0  # inside <script>/<style> raw text
 
     def _abs(self) -> int:
         line, col = self.getpos()

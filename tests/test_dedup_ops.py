@@ -102,3 +102,19 @@ def test_jaccard_candidates_prune_before_self_join(spark):
     assert plan.count("LeftSemi") >= 3, plan
     rows = out.collect()
     assert all((r["id1"], r["id2"]) == (1, 2) for r in rows)
+
+
+def test_avg_word_len_multispace(spark):
+    """avg_word_len averages ACTUAL token lengths — runs of whitespace
+    between tokens must not inflate it (the len-n+1 shortcut did)."""
+    from baram_spark.operators.text_analysis import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a \n\n b"), (2, "ab cd"), (3, "   "), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert rows[1]["avg_word_len"] == 1.0   # two 1-char words
+    assert rows[2]["avg_word_len"] == 2.0
+    assert rows[3]["avg_word_len"] == 0.0   # whitespace-only: no tokens
+    assert rows[4]["avg_word_len"] == 3.0

@@ -771,7 +771,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, strftime(day, '%Y-%m-%d') AS day, cnt,
                    ROUND(cnt / ma, 6) AS magnitude,
                    ROUND(CASE WHEN sigma > 0 THEN (cnt - mu) / sigma ELSE 0 END, 6) AS zscore
-            FROM x WHERE ma > 0 AND cnt / ma >= 1.1 AND n_key >= 7""",
+            FROM x WHERE ma > 0 AND ROUND(cnt / ma, 6) >= 1.1
+              AND n_key >= 7""",
         "trend_slope": f"""WITH {_SERIES}, x AS (
               SELECT key, cnt,
                      CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS DOUBLE) AS x

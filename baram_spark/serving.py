@@ -260,8 +260,15 @@ class _Snapshot:
             for n in names:
                 for line in fs.read_text(f"{ev_dir}/{n}").splitlines():
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         self.events.append(json.loads(line))
+                    except ValueError:
+                        # clusters/ is an optional sidecar — one truncated
+                        # line (crashed cluster job) must not take down
+                        # snapshot construction or /api/refresh
+                        continue
             self.events.sort(
                 key=lambda e: (-int(e.get("article_count", 0)),
                                e.get("event_id", ""))
@@ -315,13 +322,19 @@ class ServingContext:
     def events(self):
         return self._snap.events
 
+    _refresh_lock = threading.Lock()
+
     def refresh(self) -> None:
         """Re-open at the latest committed snapshot (OpenSearch _refresh
         analog): builds the new state OFF TO THE SIDE and swaps it in with
         one attribute assignment — concurrent searches keep the old
-        snapshot until the swap and never observe a half-built context."""
-        self._snap = _Snapshot(self.spark, self.index_dir,
-                              **self._ivf_opts)
+        snapshot until the swap and never observe a half-built context.
+        Serialized: two concurrent POSTs to /api/refresh would otherwise
+        each build a snapshot, and the LATER-finishing (possibly
+        older-read) build would win the swap."""
+        with self._refresh_lock:
+            self._snap = _Snapshot(self.spark, self.index_dir,
+                                   **self._ivf_opts)
 
     # -- candidate filter (precomputed snapshot attribute index) ----------
     @staticmethod

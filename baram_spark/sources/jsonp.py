@@ -64,9 +64,10 @@ def clean_content(content: str) -> str:
 def _ms_to_dt(ms: int) -> datetime | None:
     if not ms:
         return None
-    return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
-        tzinfo=None
-    )
+    # tz-AWARE UTC (comment.rs returns DateTime<Utc>): a naive wall time
+    # would be reinterpreted in the Spark session timezone at Arrow
+    # conversion, shifting the stored instant on non-UTC sessions
+    return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
 
 
 def parse_comments(payload: str, object_id: str | None = None) -> list[dict]:
@@ -96,7 +97,10 @@ def parse_comments(payload: str, object_id: str | None = None) -> list[dict]:
             "dislikes": int(raw.get("antipathyCount", 0) or 0),
             "reply_count": int(raw.get("replyCount", 0) or 0),
             "is_best": bool(raw.get("best", False)),
-            "is_deleted": bool(raw.get("deleted", False)),
+            # comment.rs: is_deleted = deleted || !visible — a hidden
+            # (moderated) comment counts as deleted content
+            "is_deleted": bool(raw.get("deleted", False))
+            or not bool(raw.get("visible", True)),
         })
     return out
 
@@ -119,7 +123,10 @@ def comments_df(df: DataFrame, payload_col: str = "payload",
                 try:
                     for c in parse_comments(payload or "", oid):
                         rows.append([c[k] for k in cols])
-                except (ValueError, json.JSONDecodeError):
+                except Exception:
+                    # the no-fail-the-task contract covers EVERY malformed
+                    # shape, not just bad JSON — valid JSON with an
+                    # unexpected structure raises AttributeError/TypeError
                     continue
             yield pd.DataFrame(rows, columns=cols)
 

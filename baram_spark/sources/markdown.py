@@ -45,19 +45,12 @@ def _doc_id(oid: str, aid: str) -> int:
     Non-numeric stems (no frontmatter ids, odd filenames) take the same
     hash fallback — distinct per (oid, aid), never colliding with
     packed ids."""
-    import hashlib
-
-    from ..textproc.extract import doc_id_from_ids
+    from ..textproc.extract import doc_id_from_ids, hash_doc_id
 
     try:
         return doc_id_from_ids(oid, aid)
     except ValueError:
-        digest = hashlib.blake2b(
-            f"{oid}/{aid}".encode("utf-8"), digest_size=8
-        ).digest()
-        return 10_000_000_000_000 + (
-            int.from_bytes(digest, "big") & ((1 << 49) - 1)
-        )
+        return hash_doc_id(oid, aid)
 
 _META_KEYS = {"oid", "aid", "category", "publisher", "author", "url",
               "content_hash"}
@@ -81,8 +74,16 @@ def parse_markdown(text: str, filename: str | None = None) -> dict:
     """One markdown article → IndexDocument-shaped dict
     (index.rs:402-520 semantics, mirrored exactly)."""
     lines = text.splitlines()
+    def _strip_heading(ln: str) -> str:
+        # index.rs:414 trim_start_matches("# "): strips the prefix
+        # REPEATEDLY, never touches trailing whitespace
+        while ln.startswith("# "):
+            ln = ln[2:]
+        return ln
+
     title = next(
-        (ln[2:].strip() for ln in lines if ln.startswith("# ")), "Untitled"
+        (_strip_heading(ln) for ln in lines if ln.startswith("# ")),
+        "Untitled",
     )
     meta: dict[str, str] = {}
     published_at: str | None = None

@@ -361,10 +361,16 @@ def doc_id_from_ids(oid: str, aid: str) -> int:
     """
     if len(aid) <= 10:
         return int(oid) * 10_000_000_000 + int(aid)
+    return hash_doc_id(oid, aid)
+
+
+def hash_doc_id(oid: str, aid: str) -> int:
+    """The hash-fallback id space (shared with the markdown source so
+    the two ingestion paths can never diverge): 10^13 + 49-bit blake2b
+    of the canonical pair — within int64, above every packed id."""
     digest = hashlib.blake2b(
         f"{oid}/{aid}".encode("utf-8"), digest_size=8
     ).digest()
-    # 10^13 + 49-bit hash stays within int64 and above every packed id
     return 10_000_000_000_000 + (
         int.from_bytes(digest, "big") & ((1 << 49) - 1)
     )

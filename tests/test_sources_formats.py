@@ -2,7 +2,7 @@
 the rotating-bloom dedup fast-reject tier (I9)."""
 
 import json
-from datetime import datetime
+from datetime import datetime, timezone
 
 import numpy as np
 import pytest
@@ -174,9 +174,13 @@ def test_parse_comments_conversion_rules():
     c1, c2, c3, c4 = got
     assert c1["content"] == '첫"댓글' and c1["is_best"] and c1["likes"] == 10
     assert c1["parent_id"] is None and c2["parent_id"] == "1"
-    assert c1["created_at"] == datetime(2023, 12, 16, 0, 0)
+    assert c1["created_at"] == datetime(2023, 12, 16, 0, 0,
+                                    tzinfo=timezone.utc)  # tz-AWARE
+    # UTC instant (comment.rs DateTime<Utc>); a naive value would shift
+    # on non-UTC Spark sessions
     assert c2["modified_at"] is None
-    assert c3["modified_at"] == datetime(2023, 12, 16, 0, 1)
+    assert c3["modified_at"] == datetime(2023, 12, 16, 0, 1,
+                                     tzinfo=timezone.utc)
     assert c4["is_deleted"]
     # unsuccessful response → no rows
     assert parse_comments(_payload([_raw(9)], success=False)) == []
@@ -463,3 +467,44 @@ def test_bloom_add_df_matches_add_many(spark):
     before = b.bloom.count
     b.add_df(df.filter("url = 'nope'"))
     assert b.bloom.count == before
+
+
+def test_comments_df_survives_malformed_shapes(spark):
+    """Valid-JSON-but-wrong-shape payloads (list body, scalar result,
+    string comments) yield ZERO rows for that object instead of killing
+    the task — the no-fail contract covers every malformed shape."""
+    from baram_spark.sources.jsonp import comments_df
+
+    rows = [
+        ("a", "cb([1,2,3]);"),
+        ("b", '{"success": true, "result": "ok"}'),
+        ("c", 'cb({"success": true, "result": {"commentList": ["x"]}});'),
+        ("d", "not json at all"),
+        ("e", None),
+    ]
+    df = spark.createDataFrame(rows, "object_id string, payload string")
+    assert comments_df(df).count() == 0
+
+
+def test_hidden_comment_counts_as_deleted(spark):
+    """comment.rs: is_deleted = deleted || !visible — a moderated
+    (visible=false) comment is deleted content."""
+    from baram_spark.sources.jsonp import parse_comments
+
+    payload = ('cb({"success": true, "result": {"commentList": ['
+               '{"commentNo": 1, "contents": "hidden", "visible": false},'
+               '{"commentNo": 2, "contents": "live", "visible": true},'
+               '{"commentNo": 3, "contents": "gone", "deleted": true}'
+               ']}});')
+    got = {c["comment_id"]: c["is_deleted"] for c in parse_comments(payload)}
+    assert got == {"1": True, "2": False, "3": True}
+
+
+def test_markdown_title_trim_matches_reference():
+    """index.rs:414 trim_start_matches('# '): repeated prefixes all
+    stripped, trailing whitespace preserved."""
+    from baram_spark.sources.markdown import parse_markdown
+
+    assert parse_markdown("# # Quoted heading\nbody")["title"] == \
+        "Quoted heading"
+    assert parse_markdown("# Title  \nbody")["title"] == "Title  "

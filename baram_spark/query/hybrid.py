@@ -101,6 +101,8 @@ def knn_search(embeddings: DataFrame, query_text: str, k: int = 10,
 
     def score(iterator):
         for pdf in iterator:
+            if pdf.empty:  # a 0-row batch collapses to a 1-D array and
+                continue   # norm(axis=1) would raise AxisError
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0

@@ -112,8 +112,8 @@ SESSION_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("last_ms", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
         StructField("n_events", LongType()),
         StructField("value_sum", DoubleType()),
     ]
@@ -134,33 +134,33 @@ def sessionize(
     def update(key, pdfs, state: GroupState):
         user_id = key[0]
         if state.hasTimedOut:
-            start_ms, last_ms, n, vsum = state.get
+            start_us, last_us, n, vsum = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_ms, unit="us")],
-                    "session_end": [pd.Timestamp(last_ms, unit="us")],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
                     "value_sum": [vsum],
                 }
             )
             return
-        start_ms = last_ms = None
+        start_us = last_us = None
         n, vsum = 0, 0.0
         if state.exists:
-            start_ms, last_ms, n, vsum = state.get
+            start_us, last_us, n, vsum = state.get
         for pdf in pdfs:
-            ts_ms = (pdf[ts_col].astype("int64") // 1_000).tolist()  # microseconds
-            if start_ms is None:
-                start_ms = min(ts_ms)
-                last_ms = max(ts_ms)
+            ts_us = (pdf[ts_col].astype("int64") // 1_000).tolist()  # microseconds
+            if start_us is None:
+                start_us = min(ts_us)
+                last_us = max(ts_us)
             else:
-                start_ms = min(start_ms, min(ts_ms))
-                last_ms = max(last_ms, max(ts_ms))
+                start_us = min(start_us, min(ts_us))
+                last_us = max(last_us, max(ts_us))
             n += len(pdf)
             vsum += float(pdf[value_col].sum())
-        state.update((start_ms, last_ms, n, vsum))
+        state.update((start_us, last_us, n, vsum))
         state.setTimeoutDuration(gap_ms)
         yield pd.DataFrame(
             {

@@ -113,7 +113,16 @@ def _segment_hangul(run: str) -> list[str]:
 
 
 def _segment_hangul_impl(run: str) -> list[str]:
-    """Greedy longest-match over the pinned lexicon; mixed decompounding."""
+    """Greedy longest-match over the pinned lexicon; mixed decompounding.
+
+    Lexicon lookup takes PRIORITY over particle stripping: a run that is
+    itself a dictionary word ('결과', '질의' — words whose last syllable
+    happens to spell a particle) must segment as that word, exactly as a
+    real morpheme dictionary would; stripping first would corrupt the
+    bare form ('결과' → 결+과) while the inflected form ('결과가')
+    resolved correctly, and query/doc tokens would never meet."""
+    if run in _LEXICON and run not in DECOMPOUND:
+        return [run]
     stem, particle = _strip_particle(run)
     tokens: list[str] = []
     i, n = 0, len(stem)
@@ -127,7 +136,9 @@ def _segment_hangul_impl(run: str) -> list[str]:
 
     while i < n:
         matched = None
-        for length in range(min(_MAX_WORD, n - i), 1, -1):
+        for length in range(min(_MAX_WORD, n - i), 0, -1):
+            if length == 1 and stem[i] not in _LEXICON:
+                break  # single chars match only as explicit entries
             cand = stem[i : i + length]
             if cand in _LEXICON:
                 matched = cand

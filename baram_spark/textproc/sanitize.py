@@ -71,10 +71,20 @@ def normalize_whitespace(text: str) -> str:
 def trim_lines(text: str) -> str:
     """Strip each line, preserving line structure.
 
-    Mirrors Rust ``str::lines()`` + ``join("\\n")``: a trailing newline is
-    dropped, and ``\\r\\n`` sequences are treated as line breaks.
+    Mirrors Rust ``str::lines()`` + ``join("\\n")`` EXACTLY: lines split
+    at ``\\n`` (an immediately preceding ``\\r`` is stripped), a trailing
+    newline is dropped — and NOTHING else splits. Python ``splitlines()``
+    would also split on ``\\x0b``/``\\x0c``/``\\u2028``/``\\u2029``,
+    which entity decoding can re-introduce after the control-char pass,
+    breaking the per-row byte-identical invariant vs the reference.
     """
-    return "\n".join(line.strip() for line in text.splitlines())
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # str::lines() drops the final empty segment
+    return "\n".join(
+        line[:-1].strip() if line.endswith("\r") else line.strip()
+        for line in lines
+    )
 
 
 def collapse_newlines(text: str) -> str:

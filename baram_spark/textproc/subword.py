@@ -37,10 +37,12 @@ from pyspark.sql import DataFrame, functions as F
 #: what makes decode(encode(text)) == text.
 _PRETOKEN_RE = re.compile(r"\s+|\S+")
 #: (?U) = Java UNICODE_CHARACTER_CLASS, so Spark's \s matches the same
-#: Unicode whitespace (U+3000, NBSP, ...) Python's re does — otherwise
-#: the distributed word counts train over different word types than the
-#: encoder ever produces on non-ASCII whitespace
-_PRETOKEN_SQL = r"(?U)\\s+|\\S+"
+#: Unicode whitespace (U+3000, NBSP, ...) Python's re does. One residual
+#: gap: Python's \s ALSO matches the file/group/record/unit separators
+#: U+001C-001F (not Unicode White_Space, so Java's (?U)\s does not) —
+#: the explicit classes below close it, so the distributed word counts
+#: train over exactly the word types the encoder produces
+_PRETOKEN_SQL = r"(?U)[\\s\\x1c-\\x1f]+|[^\\s\\x1c-\\x1f]+"
 
 
 def pretokenize(text: str) -> list[str]:

@@ -44,3 +44,24 @@ def test_empty_and_whitespace():
 def test_deterministic():
     text = "인공지능 빅데이터 분산처리 시스템 구축 결과 발표"
     assert analyze_index(text) == analyze_index(text)
+
+
+def test_lexicon_word_beats_particle_strip():
+    """A run that IS a dictionary word whose last syllable spells a
+    particle ('결과') must segment as the word — bare query and inflected
+    doc form share the token."""
+    from baram_spark.textproc.analyzer import analyze_index, analyze_search
+
+    assert analyze_search("결과") == ["결과"]
+    assert analyze_index("결과가")[0] == "결과"
+    # shared token between bare query and inflected doc
+    assert set(analyze_search("결과")) & set(analyze_index("결과가"))
+
+
+def test_single_char_lexicon_entries_match():
+    """Greedy matching reaches length-1 lexicon entries ('빅' from the
+    빅데이터 decompound) inside unknown runs."""
+    from baram_spark.textproc.analyzer import analyze_index
+
+    toks = analyze_index("빅데이터")
+    assert "빅" in toks and "데이터" in toks

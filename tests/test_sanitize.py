@@ -72,3 +72,15 @@ def test_series_matches_scalar():
     ]
     out = s.sanitize_series(pd.Series(rows)).tolist()
     assert out == [s.sanitize_text(r) for r in rows]
+
+
+def test_trim_lines_mirrors_rust_lines_exactly():
+    """Rust str::lines() splits ONLY on \\n (stripping a preceding \\r);
+    Python splitlines() would also split on \\x0b/\\x0c/\\u2028/\\u2029,
+    which entity decoding can re-introduce after the control-char pass."""
+    from baram_spark.textproc.sanitize import trim_lines
+
+    assert trim_lines("a\x0bb") == "a\x0bb"
+    assert trim_lines("a b") == "a b"
+    assert trim_lines(" a \r\n b \n") == "a\nb"
+    assert trim_lines("x\ny\n") == "x\ny"

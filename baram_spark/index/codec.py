@@ -134,11 +134,17 @@ def for_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
 
 # --- posting list encode/decode --------------------------------------------
 
-def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl,
                  k1: float = 1.2, b: float = 0.75) -> np.ndarray:
-    """Per-posting BM25 tf component: tf / (tf + k1*(1-b+b*dl/avgdl))."""
+    """Per-posting BM25 tf component: tf / (tf + k1*(1-b+b*dl/avgdl)).
+
+    THE one copy of this float64 expression — pack-time block-max bounds
+    and query-time scoring must be bit-identical, so every caller
+    (encode_postings, encode_many, wand.TermPostings) routes through
+    here. ``avgdl`` may be a scalar or a per-row array."""
     tfs = tfs.astype(np.float64)
-    norm = k1 * (1.0 - b + b * dls.astype(np.float64) / float(avgdl))
+    avgdl_f = np.asarray(avgdl, dtype=np.float64)
+    norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl_f)
     return tfs / (tfs + norm)
 
 
@@ -162,6 +168,11 @@ def encode_postings(
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     n = doc_ids.size
+    if n == 0:
+        # zero postings → the zero-block triple every decode path (and
+        # the WAND zero-block pin) already understands
+        return (bytes([codec]),
+                np.array([0], dtype=np.int64).tobytes(), b"")
     n_blocks = (n + BLOCK - 1) // BLOCK
     tf_norms = bm25_tf_norm(tfs, dls, avgdl, k1, b)
 
@@ -363,6 +374,8 @@ def decode_many(blobs, skips_blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
     vals = varint_decode(np.concatenate(payloads))
 
     C = np.concatenate(counts_l).astype(np.int64)  # all blocks, stream order
+    if C.size == 0:  # every blob in the batch is zero-block
+        return e, e.copy(), e.copy(), dfs
     total = int(C.sum())
     # value-stream layout per block: [1 count][C deltas][C tfs][C dls]
     seg = 1 + 3 * C
@@ -424,12 +437,22 @@ def encode_many(
     n = doc_ids.size
     n_groups = starts.size
     doc_ids = doc_ids.astype(np.int64, copy=False)
+    if n == 0:
+        # all groups empty: one zero-block triple per group (the same
+        # representation decode_many's zero-df clamp exists to survive)
+        zskip = np.array([0], dtype=np.int64).tobytes()
+        return ([bytes([CODEC_VARINT])] * n_groups,
+                [zskip] * n_groups, [b""] * n_groups)
 
-    # deltas with reset at group starts (delta = doc_id + 1 there)
+    # deltas with reset at group starts (delta = doc_id + 1 there).
+    # An EMPTY group has starts[g] == ends[g]; when that offset is n
+    # (trailing empty groups) there is no row to reset — writing
+    # prev[n-1] = -1 would corrupt the LAST real group's delta chain,
+    # so out-of-range starts are dropped, never clamped.
     prev = np.empty(n, dtype=np.int64)
     prev[0] = -1
     prev[1:] = doc_ids[:-1]
-    prev[starts] = -1
+    prev[starts[starts < n]] = -1
     deltas = (doc_ids - prev).astype(np.uint64)
 
     d_buf, d_lens = varint_encode(deltas)
@@ -440,10 +463,7 @@ def encode_many(
     l_off = np.concatenate(([0], np.cumsum(l_lens)))
 
     # per-row tf norms → per-block maxima via reduceat over block starts
-    tfn = tfs.astype(np.float64) / (
-        tfs.astype(np.float64)
-        + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl_per_row)
-    )
+    tfn = bm25_tf_norm(tfs, dls, avgdl_per_row, k1, b)
 
     blobs: list[bytes] = []
     skips_l: list[bytes] = []

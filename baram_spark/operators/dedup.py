@@ -55,7 +55,13 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     """Word n-gram shingles per doc → (doc_id, shingle) distinct."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("toks"),
+        # drop empty tokens BEFORE shingling (simhash already does):
+        # otherwise a doubled space yields shingles like 'a  b' that
+        # share nothing with the single-space doc's, and two documents
+        # identical up to whitespace get Jaccard 0
+        F.filter(
+            F.split(F.col(text_col), " "), lambda x: x != ""
+        ).alias("toks"),
     )
     # join consecutive n tokens: transform over index range. Docs shorter
     # than n tokens yield an empty shingle set (sequence() would otherwise
@@ -163,14 +169,15 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
         common.join(s1, "id1")
         .join(s2, "id2")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
-                6,
-            ),
+            "_j_raw",
+            F.col("n_common")
+            / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # threshold on the UNROUNDED ratio (the DuckDB oracle filters the
+        # raw ratio too; rounding first would admit pairs a hair below
+        # the cutoff), round only the returned column
+        .filter(F.col("_j_raw") >= threshold)
+        .withColumn("jaccard", F.round(F.col("_j_raw"), 6))
         .select("id1", "id2", "n_common", "jaccard")
     )
 

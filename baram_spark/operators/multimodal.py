@@ -59,7 +59,18 @@ RESIZED_SCHEMA = (
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode 24-bit BMP, binary PPM (P6), PNG (incl. Adam7), or JPEG
     (baseline + progressive) → HxWx3 uint8 RGB. Raises ValueError for
-    formats needing external codecs (video frames...)."""
+    unsupported formats AND for truncated/corrupt payloads (hostile
+    media must never leak IndexError/struct.error past the documented
+    contract)."""
+    try:
+        return _decode_image_impl(payload)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, IndexError, zlib.error ...
+        raise ValueError(f"corrupt or truncated image payload: {exc}")
+
+
+def _decode_image_impl(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         off = struct.unpack_from("<I", payload, 10)[0]
         w = struct.unpack_from("<i", payload, 18)[0]

@@ -28,7 +28,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..index.codec import decode_block, decode_blockmax, decode_skips
+from ..index.codec import (
+    bm25_tf_norm,
+    decode_block,
+    decode_blockmax,
+    decode_skips,
+)
 from .bm25 import FIELDS, K1, B
 
 
@@ -37,7 +42,7 @@ class TermPostings:
 
     __slots__ = (
         "field", "term", "weight", "blob", "last_ids", "offsets",
-        "counts", "blockmax", "avgdl",
+        "counts", "blockmax", "avgdl", "_block_cache",
     )
 
     def __init__(self, field: str, term: str, weight: float,
@@ -58,23 +63,31 @@ class TermPostings:
         bm = decode_blockmax(blockmax_blob)
         self.blockmax = bm * bound_factor if bound_factor != 1.0 else bm
         self.avgdl = avgdl
+        self._block_cache: dict = {}
 
     @property
     def n_blocks(self) -> int:
         return self.last_ids.size
 
     def decode_blocks(self, bidxs: np.ndarray):
-        """Decode selected blocks → (doc_ids, contribs[float64])."""
+        """Decode selected blocks → (doc_ids, contribs[float64]).
+
+        Per-instance memoized: TermPostings lives for one query, and the
+        segment-pruned scorer's ub-ordered windows can touch the same
+        block several times — each block decodes once per query."""
         ids_l, contrib_l = [], []
         for bidx in bidxs:
-            prev = -1 if bidx == 0 else int(self.last_ids[bidx - 1])
-            ids, tfs, dls, _ = decode_block(self.blob, int(self.offsets[bidx]), prev)
-            tfn = tfs.astype(np.float64) / (
-                tfs.astype(np.float64)
-                + K1 * (1.0 - B + B * dls.astype(np.float64) / self.avgdl)
-            )
-            ids_l.append(ids)
-            contrib_l.append(self.weight * tfn)
+            bidx = int(bidx)
+            hit = self._block_cache.get(bidx)
+            if hit is None:
+                prev = -1 if bidx == 0 else int(self.last_ids[bidx - 1])
+                ids, tfs, dls, _ = decode_block(
+                    self.blob, int(self.offsets[bidx]), prev)
+                tfn = bm25_tf_norm(tfs, dls, self.avgdl, K1, B)
+                hit = (ids, self.weight * tfn)
+                self._block_cache[bidx] = hit
+            ids_l.append(hit[0])
+            contrib_l.append(hit[1])
         if not ids_l:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
         return np.concatenate(ids_l), np.concatenate(contrib_l)
@@ -276,5 +289,9 @@ def score_blockmax(terms: list, k: int, min_score: float | None = None,
                     keep = np.lexsort((heap_ids, -heap_scores))[: 2 * k]
                     heap_ids, heap_scores = heap_ids[keep], heap_scores[keep]
                 if heap_scores.size >= k:
-                    theta = -np.partition(-heap_scores, k - 1)[k - 1]
+                    # never DROP below the min_score seed: segments in
+                    # [kth, min_score) still cannot survive the final
+                    # filter, so the tighter bound stays in force
+                    theta = max(theta,
+                                -np.partition(-heap_scores, k - 1)[k - 1])
     return _topk(heap_ids, heap_scores, k, min_score)

@@ -180,3 +180,39 @@ def test_decode_many_zero_df_blob_at_chunk_boundary():
     doc_ids2, _, _, dfs2 = decode_many(blobs2, skips2)
     assert dfs2[:CHUNK].sum() == 0 and int(dfs2[-1]) == 2
     assert (doc_ids2 == ids).all()
+
+
+def test_encode_empty_postings_and_empty_groups():
+    """Zero postings encode to the zero-block triple every decode path
+    (and the WAND zero-block pin) understands — empty groups anywhere in
+    an encode_many batch, including trailing ones, must not corrupt
+    neighbouring groups' delta chains."""
+    from baram_spark.index.codec import (
+        decode_many,
+        encode_many,
+        encode_postings,
+    )
+
+    b, s, m = encode_postings(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                              np.zeros(0, np.int64), avgdl=10.0)
+    _, _, _, dfs = decode_many([b], [s])
+    assert dfs.tolist() == [0] and m == b""
+
+    ids = np.array([1, 5, 9, 20], dtype=np.int64)
+    tfs = np.array([1, 2, 1, 3], dtype=np.int64)
+    dls = np.array([10, 12, 8, 9], dtype=np.int64)
+    starts = np.array([0, 0, 2, 4, 4], dtype=np.int64)
+    ends = np.array([0, 2, 4, 4, 4], dtype=np.int64)
+    blobs, skips, bmax = encode_many(ids, tfs, dls, starts, ends,
+                                     np.full(4, 10.0))
+    d, _, _, dfs = decode_many(blobs, skips)
+    assert dfs.tolist() == [0, 2, 2, 0, 0]
+    assert d.tolist() == [1, 5, 9, 20]  # trailing empties corrupt nothing
+    b2, s2, m2 = encode_postings(ids[2:], tfs[2:], dls[2:], avgdl=10.0)
+    assert (blobs[2], skips[2], bmax[2]) == (b2, s2, m2)
+
+    blobs0, skips0, _ = encode_many(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.array([0, 0]), np.array([0, 0]), np.zeros(0))
+    _, _, _, dfs0 = decode_many(blobs0, skips0)
+    assert dfs0.tolist() == [0, 0]

@@ -118,3 +118,16 @@ def test_avg_word_len_multispace(spark):
     assert rows[2]["avg_word_len"] == 2.0
     assert rows[3]["avg_word_len"] == 0.0   # whitespace-only: no tokens
     assert rows[4]["avg_word_len"] == 3.0
+
+
+def test_shingles_ignore_whitespace_runs(spark):
+    """Two docs identical up to repeated whitespace shingle identically
+    (empty tokens dropped before n-gram assembly, as simhash does)."""
+    from baram_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a  b c  d")], "doc_id long, text string")
+    sh = {(r["doc_id"], r["shingle"]) for r in shingles(docs, n=3).collect()}
+    s1 = {s for d, s in sh if d == 1}
+    s2 = {s for d, s in sh if d == 2}
+    assert s1 == s2 and s1 == {"a b c", "b c d"}

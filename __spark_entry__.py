@@ -298,10 +298,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.lsh_candidate_pairs(sig, n_hashes=4, bands=2)
 
     def q_jaccard(spark, sf_dir):
+        # LSH-gated exact verifier: candidates first (banded bucket join),
+        # then exact Jaccard only over candidate docs — the 100-TB shape.
+        # The ungated all-pairs form is a scale-killer (O(n²) shingle
+        # self-join) and lives only in small-n pytest
+        # (tests/test_dedup_ops.py).
         sh = _doc_tokens(spark, sf_dir).select(
             "doc_id", F.col("term").alias("shingle")
         ).distinct()
-        return dedup.ngram_jaccard_pairs(sh, threshold=0.5)
+        sig = dedup.minhash_signatures(sh, n_hashes=4)
+        cand = dedup.lsh_candidate_pairs(sig, n_hashes=4, bands=2)
+        return dedup.ngram_jaccard_pairs(sh, threshold=0.5, candidates=cand)
 
     def q_simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
@@ -598,9 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the deterministic Korean press-style corpus (the sf documents
         # table is English word-soup — the reference's patterns are
         # Korean-press rules, so the engine's own corpus is the faithful
-        # input). Regex extraction is not SQL-expressible → rows-only
-        # driver check; semantics are pinned by tests/test_ontology.py
-        # goldens and the aggregate golden in the same file.
+        # input). Regex extraction is not SQL-expressible, but the corpus
+        # is a pure function of n_docs, so the oracle is a literal
+        # expected-constant table (baram_spark/goldens.py) hash-verified
+        # by the driver; semantics are also pinned by
+        # tests/test_ontology.py goldens.
         from baram_spark.corpus import ontology_docs
         from baram_spark.operators.ontology import extract_triples
 
@@ -620,8 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ontology entity linking (linker.rs analog) over the same
         # deterministic press corpus: extract entities per doc, link to
         # the built-in KB (alias + fuzzy), aggregate mentions per
-        # canonical entity. Rows-only driver check (regex + KB lookup are
-        # not SQL-expressible); goldens in tests/test_linker.py.
+        # canonical entity. Oracle = literal expected-constant table
+        # (baram_spark/goldens.py — the corpus is deterministic), also
+        # pinned by tests/test_linker.py goldens.
         from baram_spark.corpus import ontology_docs
         from baram_spark.operators.linker import link_entities
 
@@ -707,6 +717,8 @@ def _mh_expr(seed: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from baram_spark import goldens as _goldens
+
     mh_cols = ", ".join(_mh_expr(s) for s in range(4))
     # simhash bit-sum columns + signature reassembly (bits=16, seed 0 —
     # mirrors dedup.simhash exactly: per-bit +1/-1 vote over token hashes)
@@ -858,18 +870,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+        # mirrors the LSH-gated Spark query: common pairs restricted to the
+        # banded candidate set (cand is DISTINCT, so the inner join is an
+        # exact semi join)
         "ngram_jaccard": f"""{_TOKS}, sh AS (
               SELECT DISTINCT doc_id, term AS shingle FROM toks2),
+            sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     concat(CAST(mh0 AS VARCHAR), '_', CAST(mh1 AS VARCHAR)) AS sig
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     concat(CAST(mh2 AS VARCHAR), '_', CAST(mh3 AS VARCHAR)) AS sig
+              FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
             common AS (
               SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
               FROM sh a JOIN sh b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+              GROUP BY 1, 2),
+            gated AS (
+              SELECT common.id1, common.id2, common.n_common
+              FROM common
+              JOIN cand ON cand.id1 = common.id1 AND cand.id2 = common.id2)
             SELECT id1, id2, n_common,
                    ROUND(CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common), 6)
                      AS jaccard
-            FROM common
+            FROM gated
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5""",
@@ -1066,4 +1098,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+        # regex extraction / KB linking are not SQL-expressible, but the
+        # press corpus is a pure function of n_docs (corpus.ontology_docs)
+        # so the expected aggregate is a CONSTANT: literal VALUES tables
+        # generated once by scripts/gen_literal_goldens.py and
+        # cross-checked against the pinned pytest goldens.
+        "ontology_triples": _goldens.ontology_triples_oracle(),
+        "entity_linking": _goldens.entity_linking_oracle(),
     }

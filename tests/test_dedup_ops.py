@@ -50,6 +50,35 @@ def test_minhash_lsh_jaccard_pipeline(spark):
     assert all(3 not in p for p in rows)
 
 
+def test_ngram_jaccard_ungated_exact_small_n(spark):
+    """The UNGATED all-pairs verifier (candidates=None) is an explicitly
+    small-n test path only — the exposed driver query gates through LSH
+    candidates. Brute-force Python Jaccard is the oracle here."""
+    import itertools
+
+    texts = {1: "a b c d e", 2: "a b c d x", 3: "p q r s t", 4: "a b c d e"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    sh = dedup.shingles(docs, n=2)
+    got = {
+        (r["id1"], r["id2"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(sh, threshold=0.0).collect()
+    }
+
+    def shset(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    exp = {}
+    for i, j in itertools.combinations(sorted(texts), 2):
+        a, b = shset(texts[i]), shset(texts[j])
+        inter = len(a & b)
+        if inter:
+            exp[(i, j)] = (inter, round(inter / len(a | b), 6))
+    assert got == exp
+
+
 def test_doc_id_packed_and_long_aid_no_collision():
     # normal 10-digit aid: packed form, reversible range
     assert doc_id_from_ids("001", "0000000123") == 1 * 10_000_000_000 + 123

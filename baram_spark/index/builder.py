@@ -244,6 +244,56 @@ class IndexBuilder:
     def _exists(self, path: str) -> bool:
         return fs.exists(path)
 
+    def codec_stats(self, persist: bool = True) -> dict:
+        """Per-codec compression telemetry over the on-disk postings:
+        bytes/posting for the postings stream plus skip/blockmax overhead.
+
+        One distributed aggregate — blobs never leave the executors, only
+        the per-codec sums do. The codec id is each blob's first byte
+        (codec.py CODEC_VARINT=0 / CODEC_FOR=1). Persisted as
+        ``codec_stats.json`` beside gen_meta so future codec work
+        (PFor-with-exceptions etc.) has a recorded baseline."""
+        import json as _json
+
+        if not self._exists(self.postings_path):
+            return {}
+        p = self.spark.read.parquet(_sp(self.postings_path))
+        rows = (
+            p.groupBy(
+                F.hex(F.substring(F.col("postings"), 1, 1)).alias("cb")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum(F.length("postings")).alias("postings_bytes"),
+                F.sum(F.length("skips")).alias("skips_bytes"),
+                F.sum(F.length("blockmax")).alias("blockmax_bytes"),
+            )
+            .collect()
+        )
+        names = {"00": "varint", "01": "for"}
+        out = {}
+        for r in rows:
+            name = names.get(r["cb"].lower(), f"codec_0x{r['cb']}")
+            n = max(int(r["n_postings"] or 0), 1)
+            pb, sb, bb = (int(r["postings_bytes"]), int(r["skips_bytes"]),
+                          int(r["blockmax_bytes"]))
+            out[name] = {
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"] or 0),
+                "postings_bytes": pb,
+                "skips_bytes": sb,
+                "blockmax_bytes": bb,
+                "bytes_per_posting": round(pb / n, 4),
+                "total_bytes_per_posting": round((pb + sb + bb) / n, 4),
+            }
+        if persist and out:
+            fs.write_text(
+                f"{self.out}/codec_stats.json",
+                _json.dumps(out, sort_keys=True),
+            )
+        return out
+
     # -- versioned stats (MVCC for the small global tables) ---------------
     # corpus_stats / gen_meta / term_stats are rewritten by every build;
     # writing IN PLACE would yank files from under a reader pinned to the

@@ -116,6 +116,10 @@ def main() -> None:
             if k in metrics
         }
 
+        # compression telemetry: bytes/posting per codec (untimed — a
+        # baseline for future codec work, not part of the build wall)
+        extras["codec_stats"] = builder.codec_stats(persist=True)
+
         qset = make_query_set()
         # cold path: parquet-pruned lookup + per-shard scoring (cluster mode)
         engine = SearchEngine(spark, f"{work}/idx")

@@ -38,6 +38,26 @@ def test_for_codec_rank_identity(spark, for_index):
         assert got == exp, q["query_text"]
 
 
+def test_codec_stats_telemetry(spark, for_index):
+    """codec_stats aggregates bytes/posting per codec distributedly and
+    persists codec_stats.json — the compression baseline BENCH carries."""
+    import json
+    import os
+
+    builder = IndexBuilder(spark, for_index, n_shards=2,
+                           salt_threshold=100, codec=CODEC_FOR)
+    stats = builder.codec_stats(persist=True)
+    assert set(stats) == {"for"}  # whole index packed with one codec
+    s = stats["for"]
+    assert s["n_postings"] > 0 and s["n_terms"] > 0
+    assert s["bytes_per_posting"] > 0
+    assert s["total_bytes_per_posting"] >= s["bytes_per_posting"]
+    # persisted beside gen_meta
+    path = f"{for_index}/codec_stats.json"
+    assert os.path.exists(path)
+    assert json.load(open(path)) == stats
+
+
 def test_for_beats_varint_on_long_lists():
     """FOR bit-packing wins on long posting lists (its per-block headers
     dominate short ones — varint stays the default for mixed corpora)."""

@@ -57,9 +57,9 @@ _GEN_TABLES = ("docs", "doc_terms", "postings", "embeddings", "doc_attrs")
 
 
 def committed_gens(index_dir: str) -> list[int] | None:
-    """Generations listed by ``_manifest.json``, or None when the index
-    predates manifests (callers fall back to a directory listing)."""
-    m = fs.read_json(f"{index_dir.rstrip('/')}/_manifest.json")
+    """Generations listed by the committed manifest, or None when the
+    index predates manifests (callers fall back to a directory listing)."""
+    m = fs.read_manifest(index_dir)
     gens = (m or {}).get("generations")
     return sorted(int(g) for g in gens) if gens is not None else None
 
@@ -881,7 +881,7 @@ class IndexBuilder:
         metrics["term_stats_seconds"] = t.seconds
 
     def _read_manifest(self) -> dict | None:
-        return fs.read_json(f"{self.out}/_manifest.json")
+        return fs.read_manifest(self.out)
 
     def committed_generations(self) -> list[int]:
         """The snapshot's generation list — from the manifest when one
@@ -930,10 +930,27 @@ class IndexBuilder:
         within the retention window keep their files). Dirs never
         referenced by any snapshot — crashed garbage or a concurrent
         writer's in-flight staging — are reclaimed only by ``vacuum``,
-        when the caller knows nothing is pinned or in flight."""
-        import json
-        import uuid
+        when the caller knows nothing is pinned or in flight.
 
+        Multi-writer safety: the re-read + OCC check + swap run under
+        ``fs.commit_lock`` (a true O_EXCL mutex locally; conditional-put
+        emulation with a documented residual window on object stores —
+        see fs.py's module docstring), and on stores without atomic
+        rename the swap itself is the immutable-file + pointer protocol
+        (``fs.publish_manifest``). A lost lock race surfaces as
+        :class:`SnapshotConflictError` so callers' ``occ_retries``
+        machinery retries it like any conflicting commit."""
+        import json
+
+        try:
+            with fs.commit_lock(self.out):
+                self._commit_manifest_locked(gens, base_sid, json)
+        except fs.CommitLockError as e:
+            raise SnapshotConflictError(
+                f"concurrent committer holds the lock on {self.out}: {e}"
+            ) from e
+
+    def _commit_manifest_locked(self, gens, base_sid, json) -> None:
         prev = self._read_manifest()
         cur_sid = int((prev or {}).get("snapshot_id", 0))
         if base_sid is not None and cur_sid != base_sid:
@@ -941,8 +958,6 @@ class IndexBuilder:
             # writer advanced the snapshot while this operation ran, and
             # our gens list was derived from the OLD snapshot — committing
             # would drop its generations. Abort; caller re-opens + retries.
-            # (The check narrows the race to the re-read→rename window;
-            # a real deployment serializes the swap behind a catalog/lock.)
             raise SnapshotConflictError(
                 f"snapshot advanced {base_sid} → {cur_sid} during this "
                 f"operation; re-open the index and retry"
@@ -969,10 +984,7 @@ class IndexBuilder:
             v = self._latest_version(base)
             if v is not None:
                 m[f"{name}_v"] = v
-        fs.makedirs(self.out)
-        tmp = f"{self.out}/._manifest.{uuid.uuid4().hex}.tmp"
-        fs.write_text(tmp, json.dumps(m))
-        fs.rename(tmp, f"{self.out}/_manifest.json")
+        fs.publish_manifest(self.out, json.dumps(m))
         # GC stats versions no snapshot can reference: keep everything
         # from the PREVIOUS manifest's committed pointer onward (a
         # multi-generation compact writes several versions before its one
@@ -1035,7 +1047,6 @@ class IndexBuilder:
         Call when the operator knows no reader is pinned past the window
         (e.g. right after a maintenance merge, before re-serving)."""
         import json
-        import uuid
 
         m = self._read_manifest()
         if m is None:
@@ -1048,27 +1059,30 @@ class IndexBuilder:
         # vacuum is itself an OCC commit: it advances snapshot_id (so a
         # concurrent writer whose base_sid predates the vacuum conflicts
         # and retries instead of committing over the shrunk history), and
-        # it aborts if another writer advanced the snapshot between our
-        # read and the swap — otherwise that writer's commit would be
-        # silently reverted and its fresh generation dirs GC'd.
-        sid = base_sid + 1
+        # under the commit lock it aborts if another writer advanced the
+        # snapshot since the base read — otherwise that writer's commit
+        # would be silently reverted and its fresh generation dirs GC'd.
+        #
         # no history append: the retained newest entry already references
         # the live generations — bumping snapshot_id alone gives vacuum
         # its OCC semantics without growing history on every run
         m["history"] = history
-        m["snapshot_id"] = sid
-        tmp = f"{self.out}/._manifest.{uuid.uuid4().hex}.tmp"
-        fs.write_text(tmp, json.dumps(m))
-        cur = self._read_manifest()
-        if int((cur or {}).get("snapshot_id", 0)) != base_sid:
-            fs.remove(tmp)
+        m["snapshot_id"] = base_sid + 1
+        try:
+            with fs.commit_lock(self.out):
+                cur = self._read_manifest()
+                cur_sid = int((cur or {}).get("snapshot_id", 0))
+                if cur_sid != base_sid:
+                    raise SnapshotConflictError(
+                        f"snapshot advanced {base_sid} → {cur_sid} during "
+                        f"vacuum; re-run vacuum against the new snapshot"
+                    )
+                fs.publish_manifest(self.out, json.dumps(m))
+                self._gc_gen_dirs(referenced)
+        except fs.CommitLockError as e:
             raise SnapshotConflictError(
-                f"snapshot advanced {base_sid} → "
-                f"{int((cur or {}).get('snapshot_id', 0))} during vacuum; "
-                f"re-run vacuum against the new snapshot"
-            )
-        fs.rename(tmp, f"{self.out}/_manifest.json")
-        self._gc_gen_dirs(referenced)
+                f"concurrent committer holds the lock on {self.out}: {e}"
+            ) from e
         return {"removed_gens": sorted(before - referenced)}
 
     def _write_index_meta(self) -> None:

@@ -20,17 +20,37 @@ Path handling:
   scheme of their own, optionally with a ``spark_root`` translation so
   Spark jobs can reach the same bytes.
 
-On object stores without atomic rename the manifest swap degrades to the
-store's move (copy+delete on S3) — same caveat as every file-listing
-table format: a real multi-writer deployment serializes the swap behind a
-catalog or lock service; the OCC base-snapshot check still narrows the
-race to the re-read→move window.
+Manifest commit protocol (multi-writer safety):
+
+* **local / atomic-rename stores** — the manifest is a single
+  ``_manifest.json`` swapped via tmp + ``os.rename`` (POSIX-atomic), and
+  :func:`commit_lock` is a true ``O_CREAT|O_EXCL`` mutex, so two local
+  writers fully serialize.
+* **object stores without atomic rename** — conditional-put emulation:
+  the full manifest is written to an IMMUTABLE
+  ``_manifest.<sid>.<uuid>.json`` (a reader can never observe a torn
+  manifest), then a tiny ``_manifest.ptr`` names it (the commit point —
+  one small PUT, object-atomic on S3/GCS).  The whole sequence runs
+  under :func:`commit_lock`, emulated as write-settle-readback on a
+  ``_commit.lock`` file with owner + timestamp fencing.  Residual
+  window, per store: two writers can both believe they hold the lock
+  only if writer B's existence check reads *before* writer A's lock
+  write becomes visible AND B writes within the settle window — on
+  strongly-consistent stores (S3 since 2020, GCS) that is the few-ms
+  check-read→write gap; on eventually-consistent stores it is the
+  visibility lag.  A real deployment closes it entirely with the
+  store's conditional write (S3 ``If-None-Match``) or a lock service /
+  catalog — :func:`commit_lock` is the single swap point for that.
 """
 from __future__ import annotations
 
 import json
 import os
 import re
+import threading
+import time
+import uuid as _uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyarrow import fs as pafs
@@ -40,6 +60,7 @@ __all__ = [
     "exists", "isdir", "listdir", "walk_dir_names", "read_text",
     "write_text", "rename", "remove", "makedirs", "rmtree",
     "read_json", "read_parquet", "write_parquet_file",
+    "read_manifest", "publish_manifest", "commit_lock", "CommitLockError",
 ]
 
 _URI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
@@ -49,6 +70,7 @@ _URI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
 class _Mount:
     fs: pafs.FileSystem
     spark_root: str | None  # local dir Spark uses for the same bytes
+    atomic_rename: bool = False  # store guarantees an atomic move/replace
 
 
 _REGISTRY: dict[str, _Mount] = {}
@@ -65,12 +87,16 @@ _AUTH_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)")
 
 
 def register_filesystem(scheme: str, filesystem: pafs.FileSystem,
-                        spark_root: str | None = None) -> None:
+                        spark_root: str | None = None,
+                        atomic_rename: bool = False) -> None:
     """Mount ``filesystem`` on ``scheme://``. ``spark_root`` (a local
     directory holding the same bytes, e.g. the base dir of a
     ``SubTreeFileSystem``) lets :func:`spark_url` translate paths for
-    Spark jobs that lack a Hadoop connector for the scheme."""
-    _REGISTRY[scheme] = _Mount(filesystem, spark_root)
+    Spark jobs that lack a Hadoop connector for the scheme.
+    ``atomic_rename=True`` declares the store's move atomic (HDFS-class),
+    letting the manifest commit keep the single-file rename swap instead
+    of the pointer protocol."""
+    _REGISTRY[scheme] = _Mount(filesystem, spark_root, atomic_rename)
 
 
 def unregister_filesystem(scheme: str) -> None:
@@ -230,3 +256,192 @@ def write_parquet_file(path: str, table) -> None:
 
     fs, p = resolve(path)
     pq.write_table(table, p, filesystem=fs)
+
+
+# -- manifest commit protocol (see module docstring) ------------------------
+
+_MANIFEST = "_manifest.json"
+_PTR = "_manifest.ptr"
+_LOCK = "_commit.lock"
+_VERSIONED_RE = re.compile(r"^_manifest\.(\d{12})\.[0-9a-f]{32}\.json$")
+
+
+class CommitLockError(RuntimeError):
+    """Another committer holds (or won) the commit lock; retry the whole
+    operation from a fresh snapshot read."""
+
+
+def _atomic_store(path: str) -> bool:
+    """True when the store's move is an atomic replace (local POSIX,
+    HDFS, or a mount registered with ``atomic_rename=True``)."""
+    m = _URI_RE.match(str(path))
+    if m and (mt := _REGISTRY.get(m.group(1))) is not None:
+        return mt.atomic_rename
+    f, _ = resolve(path)
+    return isinstance(f, (pafs.LocalFileSystem, pafs.HadoopFileSystem))
+
+
+def read_manifest(index_dir: str) -> dict | None:
+    """Resolve the committed manifest: pointer protocol first (immutable
+    versioned file named by ``_manifest.ptr``), legacy single-file second.
+    None when the index has no manifest (or a torn/unreadable one)."""
+    base = index_dir.rstrip("/")
+    try:
+        name = read_text(f"{base}/{_PTR}").strip()
+    except Exception:
+        name = ""
+    # the ptr must name exactly a versioned manifest file — anything else
+    # (corruption, truncation) falls back rather than reading a bad path
+    if name and _VERSIONED_RE.match(name):
+        m = read_json(f"{base}/{name}")
+        if m is not None:
+            return m
+    return read_json(f"{base}/{_MANIFEST}")
+
+
+def publish_manifest(index_dir: str, payload: str, retain: int = 4) -> None:
+    """Make ``payload`` (a JSON manifest) the committed snapshot.
+
+    Atomic-rename stores: tmp + rename of ``_manifest.json`` (the
+    original swap).  Other stores: write the immutable versioned file,
+    swap the tiny pointer (commit point), mirror to ``_manifest.json``
+    best-effort for legacy readers, and GC versioned files beyond the
+    newest ``retain`` (a reader holding an older ptr value re-resolves
+    through the mirror).  MUST run under :func:`commit_lock` when other
+    writers may exist."""
+    base = index_dir.rstrip("/")
+    makedirs(base)
+    if _atomic_store(base):
+        tmp = f"{base}/._manifest.{_uuid.uuid4().hex}.tmp"
+        write_text(tmp, payload)
+        rename(tmp, f"{base}/{_MANIFEST}")
+        return
+    try:
+        sid = int(json.loads(payload).get("snapshot_id", 0))
+    except Exception:
+        sid = 0
+    name = f"_manifest.{sid:012d}.{_uuid.uuid4().hex}.json"
+    write_text(f"{base}/{name}", payload)
+    write_text(f"{base}/{_PTR}", name)  # commit point: one tiny PUT
+    try:
+        write_text(f"{base}/{_MANIFEST}", payload)  # legacy-reader mirror
+    except Exception:
+        pass
+    old = sorted(n for n in listdir(base)
+                 if _VERSIONED_RE.match(n) and n != name)
+    for n in old[:-max(retain - 1, 0)] if retain > 1 else old:
+        try:
+            remove(f"{base}/{n}")
+        except FileNotFoundError:
+            pass
+
+
+def _read_lock(lock_uri: str) -> dict | None:
+    m = read_json(lock_uri)
+    return m if isinstance(m, dict) else None
+
+
+# process-local per-index mutex layered UNDER the store-level lock (the
+# Delta-S3-LogStore pattern): same-process committers — concurrent build
+# threads, a builder and a maintenance job sharing a SparkSession — are
+# fully serialized regardless of the store's consistency; the store-level
+# file only has to fence committers in OTHER processes/hosts.
+_PROC_LOCKS: dict[str, threading.Lock] = {}
+_PROC_LOCKS_GUARD = threading.Lock()
+
+
+def _proc_lock(base: str) -> threading.Lock:
+    with _PROC_LOCKS_GUARD:
+        lk = _PROC_LOCKS.get(base)
+        if lk is None:
+            lk = threading.Lock()
+            _PROC_LOCKS[base] = lk
+        return lk
+
+
+@contextmanager
+def commit_lock(index_dir: str, ttl_s: float = 120.0,
+                settle_s: float = 0.02):
+    """Serialize manifest commits on ``index_dir``.
+
+    In-process committers: a per-index ``threading.Lock`` (full mutual
+    exclusion, non-blocking — a held lock raises immediately so the
+    caller's OCC retry loop re-reads a fresh snapshot).  Cross-process,
+    local stores: a true ``O_CREAT|O_EXCL`` lock file (a crashed
+    holder's lock is broken after ``ttl_s``).  Cross-process, other
+    stores: write-settle-readback emulation with owner fencing — raises
+    :class:`CommitLockError` when another fresh lock exists or the
+    readback shows a competing writer won; the residual double-hold
+    window is documented in the module docstring.  The file lock is
+    released on exit only if still owned (never deletes a successor's
+    lock)."""
+    base = index_dir.rstrip("/")
+    plock = _proc_lock(base)
+    if not plock.acquire(blocking=False):
+        raise CommitLockError(
+            f"commit lock held on {base} by another thread")
+    try:
+        lock_uri = f"{base}/{_LOCK}"
+        token = _uuid.uuid4().hex
+        f, lp = resolve(lock_uri)
+        makedirs(base)
+        if isinstance(f, pafs.LocalFileSystem):
+            fd = None
+            for attempt in (0, 1):
+                try:
+                    fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.path.getmtime(lp)
+                    except FileNotFoundError:
+                        continue  # holder just released; retry the create
+                    if attempt == 0 and age > ttl_s:
+                        try:
+                            os.remove(lp)  # break a crashed holder's lock
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    raise CommitLockError(
+                        f"commit lock held on {base} (age {age:.1f}s)")
+            if fd is None:
+                raise CommitLockError(f"commit lock held on {base}")
+            try:
+                os.write(fd, json.dumps(
+                    {"owner": token, "ts": time.time()}).encode())
+            finally:
+                os.close(fd)
+            try:
+                yield token
+            finally:
+                try:
+                    os.remove(lp)
+                except FileNotFoundError:
+                    pass
+            return
+        # object-store emulation: check → write → settle → readback fence
+        existing = _read_lock(lock_uri)
+        now = time.time()
+        if existing is not None and \
+                (now - float(existing.get("ts", 0))) < ttl_s:
+            raise CommitLockError(
+                f"commit lock held on {base} by {existing.get('owner')}")
+        write_text(lock_uri, json.dumps({"owner": token, "ts": now}))
+        if settle_s > 0:
+            time.sleep(settle_s)
+        cur = _read_lock(lock_uri)
+        if cur is None or cur.get("owner") != token:
+            raise CommitLockError(
+                f"lost commit-lock race on {base} to "
+                f"{(cur or {}).get('owner')}")
+        try:
+            yield token
+        finally:
+            cur = _read_lock(lock_uri)
+            if cur is not None and cur.get("owner") == token:
+                try:
+                    remove(lock_uri)
+                except FileNotFoundError:
+                    pass
+    finally:
+        plock.release()

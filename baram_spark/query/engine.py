@@ -112,7 +112,9 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _load_manifest(self) -> dict | None:
-        return fs.read_json(f"{self.index_dir}/_manifest.json")
+        # pointer-protocol aware (object stores) with the single-file
+        # _manifest.json as the local/legacy path — see fs.read_manifest
+        return fs.read_manifest(self.index_dir)
 
     def _manifest_gens(self) -> list[int] | None:
         """Generations listed by the builder's snapshot manifest, or None

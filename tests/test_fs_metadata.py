@@ -181,3 +181,188 @@ def test_full_lifecycle_on_mock_scheme(spark, mock_index):
     res = ctx.search(q, mode="bm25", k=5)
     assert res["total"] == 5
     assert [int(r["id"].split("_")[0]) >= 0 for r in res["results"]]
+
+
+# -- multi-writer manifest commit protocol ----------------------------------
+# Stores without atomic rename commit via immutable versioned manifest +
+# pointer swap under fs.commit_lock (conditional-put emulation); local
+# stores get a true O_CREAT|O_EXCL mutex. Two concurrent committers must
+# resolve to exactly one winner (the Iceberg commit contract).
+
+import json
+import os
+import threading
+import time
+
+
+@pytest.fixture
+def nonatomic(tmp_path):
+    root = str(tmp_path / "objstore")
+    os.makedirs(root)
+    fs.register_filesystem(
+        "obj", pafs.SubTreeFileSystem(root, pafs.LocalFileSystem()),
+        spark_root=root)
+    yield "obj://idx"
+    fs.unregister_filesystem("obj")
+
+
+def test_commit_lock_local_is_exclusive(tmp_path):
+    base = str(tmp_path / "idx")
+    with fs.commit_lock(base):
+        # same-process second committer: the process mutex rejects it
+        with pytest.raises(fs.CommitLockError):
+            with fs.commit_lock(base):
+                pass
+    # released on exit: re-acquire works
+    with fs.commit_lock(base):
+        pass
+    # ANOTHER process's fresh lock file (O_EXCL path): rejected until ttl
+    with open(f"{base}/_commit.lock", "w") as f:
+        f.write(json.dumps({"owner": "other-proc", "ts": time.time()}))
+    with pytest.raises(fs.CommitLockError):
+        with fs.commit_lock(base, ttl_s=60.0):
+            pass
+    os.remove(f"{base}/_commit.lock")
+
+
+def test_commit_lock_local_breaks_stale_lock(tmp_path):
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    # a crashed holder's lock (no release) is broken after ttl
+    with open(f"{base}/_commit.lock", "w") as f:
+        f.write(json.dumps({"owner": "dead", "ts": 0}))
+    old = time.time() - 3600
+    os.utime(f"{base}/_commit.lock", (old, old))
+    with fs.commit_lock(base, ttl_s=1.0):
+        pass
+
+
+def test_commit_lock_nonatomic_precheck(nonatomic):
+    base = nonatomic
+    with fs.commit_lock(base, settle_s=0.0):
+        # same-process second committer: the process mutex rejects it
+        with pytest.raises(fs.CommitLockError):
+            with fs.commit_lock(base, settle_s=0.0):
+                pass
+    with fs.commit_lock(base, settle_s=0.0):  # released → reacquirable
+        pass
+    # ANOTHER process's fresh lock (pre-check read path): rejected
+    fs.write_text(f"{base}/_commit.lock",
+                  json.dumps({"owner": "other-proc", "ts": time.time()}))
+    with pytest.raises(fs.CommitLockError):
+        with fs.commit_lock(base, ttl_s=60.0, settle_s=0.0):
+            pass
+    # stale remote lock is overwritable after ttl
+    fs.write_text(f"{base}/_commit.lock",
+                  json.dumps({"owner": "dead", "ts": 0}))
+    with fs.commit_lock(base, ttl_s=1.0, settle_s=0.0):
+        pass
+
+
+def test_commit_lock_nonatomic_readback_fence(nonatomic, monkeypatch):
+    """The residual window: an intruder whose pre-check read our write
+    too late lands its lock during the settle — the readback fence must
+    make US lose (and must NOT delete the intruder's lock afterwards)."""
+    base = nonatomic
+    lock_uri = f"{base}/_commit.lock"
+
+    def intrude(_s):
+        fs.write_text(lock_uri, json.dumps(
+            {"owner": "intruder", "ts": time.time()}))
+
+    monkeypatch.setattr(fs.time, "sleep", intrude)
+    with pytest.raises(fs.CommitLockError):
+        with fs.commit_lock(base, settle_s=0.01):
+            pass
+    # the loser must not have cleaned up the winner's lock
+    assert fs.read_json(lock_uri)["owner"] == "intruder"
+
+
+def test_publish_and_read_manifest_pointer(nonatomic):
+    base = nonatomic
+    for sid in range(1, 7):
+        fs.publish_manifest(
+            base, json.dumps({"snapshot_id": sid, "generations": [0]}),
+            retain=3)
+    m = fs.read_manifest(base)
+    assert m["snapshot_id"] == 6
+    # immutable versioned files: newest `retain` kept, rest GC'd
+    versioned = sorted(n for n in fs.listdir(base)
+                       if n.startswith("_manifest.0"))
+    assert len(versioned) == 3
+    assert versioned[-1].startswith("_manifest.000000000006.")
+    # the pointer names the committed file
+    assert fs.read_text(f"{base}/_manifest.ptr").strip() == versioned[-1]
+    # legacy mirror matches the committed manifest
+    assert fs.read_json(f"{base}/_manifest.json")["snapshot_id"] == 6
+    # a corrupt pointer falls back to the mirror instead of crashing
+    fs.write_text(f"{base}/_manifest.ptr", "../../etc/passwd")
+    assert fs.read_manifest(base)["snapshot_id"] == 6
+
+
+def test_concurrent_committers_exactly_one_wins(spark, nonatomic):
+    """Two committers race the SAME base snapshot on a store without
+    atomic rename: exactly one commit lands; the other surfaces
+    SnapshotConflictError (lock or OCC) and loses no committed state."""
+    from baram_spark.index.builder import IndexBuilder, SnapshotConflictError
+
+    out = nonatomic
+    a = IndexBuilder(spark, out, n_shards=2)
+    b = IndexBuilder(spark, out, n_shards=2)
+    a._commit_manifest([0], base_sid=a._begin())  # seed snapshot 1
+
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def committer(name, bld, base):
+        barrier.wait()
+        try:
+            bld._commit_manifest([0], base_sid=base)
+            outcomes[name] = "ok"
+        except SnapshotConflictError:
+            outcomes[name] = "conflict"
+
+    base = a._begin()
+    assert base == b._begin() == 1
+    t1 = threading.Thread(target=committer, args=("a", a, base))
+    t2 = threading.Thread(target=committer, args=("b", b, base))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert sorted(outcomes.values()) == ["conflict", "ok"], outcomes
+    m = fs.read_manifest(out)
+    assert m["snapshot_id"] == 2  # exactly one advance
+    assert m["generations"] == [0]
+    assert not fs.exists(f"{out}/_commit.lock")  # lock released
+
+
+def test_contended_commit_stream_loses_no_update(spark, nonatomic):
+    """Two writers each land 4 commits under contention (begin→commit→
+    retry-on-conflict): every successful commit advances snapshot_id by
+    exactly one — no lost updates through the pointer protocol."""
+    from baram_spark.index.builder import IndexBuilder, SnapshotConflictError
+
+    out = nonatomic
+    builders = [IndexBuilder(spark, out, n_shards=2) for _ in range(2)]
+    per_writer = 4
+    errs = []
+
+    def writer(bld):
+        done = 0
+        while done < per_writer:
+            try:
+                bld._commit_manifest([0], base_sid=bld._begin())
+                done += 1
+            except SnapshotConflictError:
+                time.sleep(0.01)
+            except Exception as e:  # pragma: no cover - surface in assert
+                errs.append(e)
+                return
+
+    ts = [threading.Thread(target=writer, args=(b,)) for b in builders]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    m = fs.read_manifest(out)
+    assert m["snapshot_id"] == 2 * per_writer

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import threading
+from collections.abc import Mapping as _Mapping
 from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -111,6 +112,102 @@ class _IvfServing:
         return np.unique(np.concatenate([self.lists[c] for c in probe]))
 
 
+def _one_chunk(col):
+    """Normalize a pyarrow Table column (ChunkedArray) to a single Array."""
+    import pyarrow as pa
+
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(ca, pa.ChunkedArray):
+        return ca.chunk(0) if ca.num_chunks else pa.array([], type=ca.type)
+    return ca
+
+
+def _group_ids(ids_sorted: np.ndarray, arr,
+               keep_null: bool = False) -> dict:
+    """value → ascending doc_id array, vectorized via dictionary encoding
+    (no per-doc Python loop). ``keep_null=True`` groups null values under
+    key None (category semantics); otherwise nulls are dropped
+    (publisher semantics — a filter never matches them)."""
+    import pyarrow.compute as pc
+
+    arr = _one_chunk(arr)
+    enc = pc.dictionary_encode(arr)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    valid = (~np.isnan(codes) if codes.dtype.kind == "f"
+             else np.ones(codes.size, dtype=bool))
+    vals = enc.dictionary.to_pylist()
+    codes_v = codes[valid].astype(np.int64)
+    ids_v = ids_sorted[valid]
+    order = np.argsort(codes_v, kind="stable")  # stable keeps ids ascending
+    bounds = np.searchsorted(codes_v[order], np.arange(len(vals) + 1))
+    out = {
+        v: ids_v[order[bounds[j]:bounds[j + 1]]]
+        for j, v in enumerate(vals)
+        if bounds[j + 1] > bounds[j]
+    }
+    if keep_null and valid.size and not valid.all():
+        out[None] = ids_sorted[~valid]
+    return out
+
+
+class _DocStore(_Mapping):
+    """Columnar doc-metadata store: a doc_id-sorted int64 index plus the
+    pyarrow column arrays, materializing Python objects only for the
+    rows actually served.  Replaces the per-doc Python-dict projection
+    (≈300 B/doc of dict+box overhead) so a resident node scales past
+    10⁷ docs; exposes the full Mapping interface the previous dict
+    offered (get/items/values/len/==)."""
+
+    __slots__ = ("ids", "_cols")
+
+    def __init__(self, ids: np.ndarray, cols: dict):
+        self.ids = ids          # sorted int64
+        self._cols = cols       # name -> pyarrow Array (same row order)
+
+    @classmethod
+    def from_table(cls, tbl, denied: set[int]):
+        import pyarrow as pa
+
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        if denied:
+            keep = ~np.isin(ids[order],
+                            np.fromiter(denied, dtype=np.int64))
+            order = order[keep]
+        tbl = tbl.take(pa.array(order, type=pa.int64()))
+        return cls(
+            ids[order],
+            {n: _one_chunk(tbl[n]) for n in tbl.schema.names
+             if n != "doc_id"},
+        )
+
+    def _row(self, i: int) -> dict:
+        return {n: a[i].as_py() for n, a in self._cols.items()}
+
+    def __getitem__(self, doc_id: int) -> dict:
+        d = int(doc_id)
+        i = int(np.searchsorted(self.ids, d))
+        if i >= self.ids.size or int(self.ids[i]) != d:
+            raise KeyError(doc_id)
+        return self._row(i)
+
+    def __iter__(self):
+        return (int(x) for x in self.ids)
+
+    def __len__(self) -> int:
+        return int(self.ids.size)
+
+    def column(self, name: str):
+        """The raw pyarrow column (snapshot-internal index builds)."""
+        return self._cols[name]
+
+    @property
+    def nbytes(self) -> int:
+        """Resident bytes of the columnar buffers (telemetry/tests)."""
+        return int(self.ids.nbytes
+                   + sum(a.nbytes for a in self._cols.values()))
+
+
 class _Snapshot:
     """One immutable resident snapshot: engine + doc metadata + embedding
     matrix. Built off to the side and swapped into ServingContext with a
@@ -158,20 +255,15 @@ class _Snapshot:
             if committed is not None and "gen" in docs_ds.schema.names
             else None
         )
-        docs = docs_ds.to_table(columns=cols, filter=gen_filter).to_pydict()
-        self.meta: dict[int, dict] = {}
-        for i in range(len(docs["doc_id"])):
-            self.meta[int(docs["doc_id"][i])] = {
-                c: docs[c][i] for c in cols if c != "doc_id"
-            }
+        tbl = docs_ds.to_table(columns=cols, filter=gen_filter)
         denied = set(
             int(x) for x in (self.engine._denied.tolist()
                              if self.engine._denied is not None else [])
         )
-        if denied:
-            self.meta = {
-                d: m for d, m in self.meta.items() if d not in denied
-            }
+        # columnar store (doc_id-sorted): python objects materialize only
+        # for served hits, so resident footprint is the arrow buffers
+        self.meta = _DocStore.from_table(tbl, denied)
+        ids_sorted = self.meta.ids
         # filter attribute index, built ONCE per snapshot (refresh), so a
         # filtered request is O(log n + |slice|) array work instead of an
         # O(n_docs) python loop per query (the r2 scale finding):
@@ -180,27 +272,16 @@ class _Snapshot:
         #   pub / pub_ids: published_at-sorted parallel arrays (docs with
         #                  no date excluded — a date filter never matches
         #                  them, same as the reference's range query)
-        by_cat: dict[str, list] = {}
-        by_publisher: dict[str, list] = {}
-        pub_pairs: list[tuple] = []
-        for doc_id, m in self.meta.items():
-            by_cat.setdefault(m["category"], []).append(doc_id)
-            if m["publisher"] is not None:
-                by_publisher.setdefault(m["publisher"], []).append(doc_id)
-            if m["published_at"] is not None:
-                pub_pairs.append((m["published_at"], doc_id))
-        self.cat_ids = {
-            c: np.sort(np.asarray(v, dtype=np.int64))
-            for c, v in by_cat.items()
-        }
-        self.publisher_ids = {
-            p: np.sort(np.asarray(v, dtype=np.int64))
-            for p, v in by_publisher.items()
-        }
-        pub_pairs.sort()
-        self.pub = np.array([p for p, _ in pub_pairs],
-                            dtype="datetime64[us]")
-        self.pub_ids = np.asarray([d for _, d in pub_pairs], dtype=np.int64)
+        self.cat_ids = _group_ids(ids_sorted, self.meta.column("category"),
+                                  keep_null=True)
+        self.publisher_ids = _group_ids(ids_sorted,
+                                        self.meta.column("publisher"))
+        ts = self.meta.column("published_at").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]")
+        valid = ~np.isnat(ts)
+        order = np.lexsort((ids_sorted[valid], ts[valid]))
+        self.pub = ts[valid][order]
+        self.pub_ids = ids_sorted[valid][order]
 
         self.emb_ids = None
         self.matn = None

@@ -87,6 +87,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # exit 0 — the `nginx -t` analog (also what the CLI smoke test runs)
     p_serve.add_argument("--check", action="store_true")
 
+    # multi-node topology: split an index into per-node shard-sets and
+    # route queries across the nodes (the OpenSearch coordinator analog)
+    p_split = sub.add_parser("split")
+    p_split.add_argument("--index", required=True)
+    p_split.add_argument("--out", required=True, nargs="+",
+                         help="one output dir per serving node")
+    p_route = sub.add_parser("route")
+    p_route.add_argument("--nodes", required=True,
+                         help="comma-separated serving-node base URLs")
+    p_route.add_argument("--host", default="127.0.0.1")
+    p_route.add_argument("--port", type=int, default=3000)
+    p_route.add_argument("--check", action="store_true")
+
     # standalone embedding service (embedding_server, serve.rs:73-130):
     # no Spark session — the model swap point over plain HTTP
     p_embed = sub.add_parser("embed-serve")
@@ -134,6 +147,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print("  GET  /health       - Health check")
             print("  POST /embed        - Embed one text")
             print("  POST /embed/batch  - Embed a batch")
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                server.shutdown()
+        return 0
+
+    if args.cmd == "route":
+        # pure coordinator: no index state, no Spark session
+        from baram_spark.router import Router, make_router_server
+
+        router = Router([u for u in args.nodes.split(",") if u])
+        server = make_router_server(router, host=args.host, port=args.port)
+        host, port = server.server_address[:2]
+        if args.check:
+            server.server_close()
+            print(json.dumps({"status": "ok", "nodes": len(router.nodes)}))
+        else:
+            print(f"baram-spark router on http://{host}:{port} "
+                  f"({len(router.nodes)} nodes)")
             try:
                 server.serve_forever()
             except KeyboardInterrupt:
@@ -227,6 +259,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "latency_ms": round(1000 * (time.time() - t0), 1),
             "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
         }, ensure_ascii=False))
+    elif args.cmd == "split":
+        from baram_spark.index.split import split_index
+
+        sets = split_index(spark, args.index, list(args.out))
+        print(json.dumps({
+            "nodes": list(args.out),
+            "shards": [sorted(int(x) for x in s) for s in sets],
+        }))
+
     elif args.cmd == "serve":
         from baram_spark.serving import ServingContext, make_server
 

@@ -1,0 +1,199 @@
+"""Shard-set split of a committed index for multi-node serving.
+
+The serving topology (``serving.py`` module docstring, mirroring the
+reference's OpenSearch layout, ``/root/reference/src/embedding/mod.rs``
+index-per-node + coordinator): each serving node holds ONE shard-set
+resident and a thin router (``baram_spark.router``) fans out / k-merges.
+``split_index`` materializes those per-node index directories from one
+committed index:
+
+* **global stats are copied verbatim** — ``term_stats`` (df),
+  ``corpus_stats`` (n_docs, avgdl), ``gen_meta`` (bound factors) and the
+  snapshot manifest. BM25 idf/avgdl are therefore the GLOBAL values on
+  every node, so a node's per-shard scores equal the single-engine scores
+  exactly and the router's k-merge is rank- AND score-identical (the DFS
+  query-then-fetch property, for free, because the stats tables are tiny
+  and immutable per snapshot).
+* **postings are file-copied by shard directory** — the layout is already
+  ``postings/gen=G/shard=K``, so a node's shard-set is a byte-identical
+  subset of the parent index; no Spark rewrite, no re-encode.
+* **docs / doc_attrs / embeddings are Spark-filtered by the same
+  ``shard_expr`` the builder used** (``build.py:429-437``), so a node's
+  metadata covers exactly the docs its postings can surface.
+
+Scale note: the split is one column-pruned filter-write per gen per node
+plus O(shard-dirs) file copies — no shuffle anywhere (the filter is a
+narrow map; writes inherit the scan partitioning). At 100 TB the postings
+copy is an object-store server-side copy per shard directory.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.fs as pafs
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession, functions as F
+
+from . import fs
+from .fs import spark_url as _sp
+
+#: small tables copied verbatim to every node (global stats + metadata)
+_GLOBAL_DIRS = ("term_stats", "corpus_stats", "gen_meta", "index_meta",
+                "deletes", "clusters")
+
+
+def _copy_tree(src: str, dst: str) -> None:
+    """Copy a file or directory tree. ``pafs.copy_files`` does not create
+    destination directories, so mirror the dir structure first."""
+    sfs, sp = fs.resolve(src)
+    dfs, dp = fs.resolve(dst)
+    if sfs.get_file_info(sp).type == pafs.FileType.Directory:
+        dfs.create_dir(dp, recursive=True)
+        for info in sfs.get_file_info(pafs.FileSelector(sp, recursive=True)):
+            if info.type == pafs.FileType.Directory:
+                rel = info.path[len(sp):].lstrip("/")
+                dfs.create_dir(f"{dp}/{rel}", recursive=True)
+    pafs.copy_files(sp, dp, source_filesystem=sfs,
+                    destination_filesystem=dfs)
+
+
+def _committed_gens(index_dir: str, table: str) -> list[int]:
+    """Generations to ship: the manifest's committed list, else the gen
+    directories present on disk for ``table``."""
+    manifest = fs.read_manifest(index_dir)
+    gens = (manifest or {}).get("generations")
+    if gens is not None:
+        return sorted(int(g) for g in gens)
+    base = f"{index_dir}/{table}"
+    if not fs.exists(base):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in fs.listdir(base)
+        if d.startswith("gen=")
+    )
+
+
+def _n_shards(index_dir: str) -> int:
+    manifest = fs.read_manifest(index_dir)
+    v = (manifest or {}).get("n_shards")
+    if v is not None:
+        return int(v)
+    raise ValueError(
+        f"{index_dir} has no snapshot manifest with n_shards; "
+        "split_index requires a manifest-committed index"
+    )
+
+
+def _any_parquet_file(root: str) -> str | None:
+    """First parquet data file under ``root`` (for schema-only writes)."""
+    f, p = fs.resolve(root)
+    for info in f.get_file_info(pafs.FileSelector(p, recursive=True)):
+        if (info.type == pafs.FileType.File
+                and info.base_name.endswith(".parquet")):
+            return info.path
+    return None
+
+
+def split_index(
+    spark: SparkSession,
+    index_dir: str,
+    node_dirs: list[str],
+    shard_sets: list[set[int]] | None = None,
+) -> list[set[int]]:
+    """Materialize one serving-node index per ``node_dirs`` entry.
+
+    ``shard_sets[i]`` is the set of shard ids node ``i`` serves; default is
+    round-robin (shard ``s`` → node ``s % len(node_dirs)``). Every shard
+    must be assigned to exactly one node for the router's merge to equal
+    the single-engine result (the router dedupes by doc_id, so replicated
+    shards stay CORRECT but waste node memory).
+
+    Returns the shard sets actually used.
+    """
+    index_dir = index_dir.rstrip("/")
+    n_nodes = len(node_dirs)
+    if n_nodes < 1:
+        raise ValueError("need at least one node dir")
+    n_shards = _n_shards(index_dir)
+    if shard_sets is None:
+        shard_sets = [
+            {s for s in range(n_shards) if s % n_nodes == i}
+            for i in range(n_nodes)
+        ]
+    if len(shard_sets) != n_nodes:
+        raise ValueError("one shard set per node dir")
+    assigned = sorted(s for ss in shard_sets for s in ss)
+    if assigned != sorted(set(assigned)):
+        raise ValueError(f"shard assigned twice: {assigned}")
+    missing = set(range(n_shards)) - set(assigned)
+    if missing:
+        raise ValueError(f"unassigned shards: {sorted(missing)}")
+
+    from .build import shard_expr
+
+    gens = _committed_gens(index_dir, "postings")
+    post_schema_file = _any_parquet_file(f"{index_dir}/postings")
+
+    for node_dir, shards in zip(node_dirs, shard_sets):
+        node_dir = node_dir.rstrip("/")
+        fs.makedirs(node_dir)
+
+        # 1. global stats + metadata, verbatim (identical idf/avgdl/bounds)
+        for name in _GLOBAL_DIRS:
+            src = f"{index_dir}/{name}"
+            if fs.exists(src):
+                _copy_tree(src, f"{node_dir}/{name}")
+        for entry in fs.listdir(index_dir):
+            if entry.startswith("_manifest"):
+                _copy_tree(f"{index_dir}/{entry}", f"{node_dir}/{entry}")
+
+        # 2. postings: byte-identical file copy of this node's shard dirs
+        for g in gens:
+            wrote_any = False
+            for s in sorted(shards):
+                src = f"{index_dir}/postings/gen={g}/shard={s}"
+                if fs.exists(src):
+                    _copy_tree(src, f"{node_dir}/postings/gen={g}/shard={s}")
+                    wrote_any = True
+            if not wrote_any and post_schema_file is not None:
+                # a committed gen with no rows for this shard-set must
+                # still open (the engine reads every committed gen dir):
+                # plant one schema-only parquet file
+                dst = (f"{node_dir}/postings/gen={g}"
+                       f"/shard={min(shards)}/empty.parquet")
+                sfs, sp = fs.resolve(post_schema_file)
+                schema = pq.read_schema(sp, filesystem=sfs)
+                fs.write_parquet_file(dst, schema.empty_table())
+
+        # 3. docs / doc_attrs / embeddings: shard-filtered Spark rewrite
+        in_set = [int(s) for s in sorted(shards)]
+        for g in gens:
+            src = f"{index_dir}/docs/gen={g}"
+            if fs.exists(src):
+                (spark.read.parquet(_sp(src))
+                 .filter(shard_expr(n_shards).cast("int").isin(in_set))
+                 .write.mode("overwrite")
+                 .parquet(_sp(f"{node_dir}/docs/gen={g}")))
+            src = f"{index_dir}/doc_attrs/gen={g}"
+            if fs.exists(src):
+                (spark.read.parquet(_sp(src))
+                 .filter(F.col("shard").isin(in_set))
+                 .write.mode("overwrite")
+                 .parquet(_sp(f"{node_dir}/doc_attrs/gen={g}")))
+            src = f"{index_dir}/embeddings/gen={g}"
+            if fs.exists(src):
+                (spark.read.parquet(_sp(src))
+                 .filter(shard_expr(n_shards).cast("int").isin(in_set))
+                 .write.mode("overwrite")
+                 .parquet(_sp(f"{node_dir}/embeddings/gen={g}")))
+
+        # node-local split descriptor (ops telemetry; nothing reads it on
+        # the query path)
+        fs.write_text(
+            f"{node_dir}/_shard_set.json",
+            json.dumps({"source": index_dir, "n_shards": n_shards,
+                        "shards": sorted(int(s) for s in shards)}),
+        )
+    return shard_sets

@@ -527,6 +527,10 @@ class ServingContext:
             results.append(
                 {
                     "id": f"{m['oid']}_{m['aid']}",
+                    # the router's merge/dedupe key (tie-break is score
+                    # desc, doc_id asc — the engine's canonical order);
+                    # additive to the reference SearchResult shape
+                    "doc_id": int(doc_id),
                     "score": score,
                     "title": m["title"],
                     "content": content,

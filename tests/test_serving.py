@@ -57,8 +57,9 @@ def test_bm25_mode_matches_engine(spark, server):
     assert got_scores == [round(s, 9) for _, s in expected]
     r0 = body["results"][0]
     # reference SearchResult shape
-    assert set(r0) == {"id", "score", "title", "content", "category",
-                       "publisher", "url", "published_at", "highlights"}
+    assert set(r0) == {"id", "doc_id", "score", "title", "content",
+                       "category", "publisher", "url", "published_at",
+                       "highlights"}
     assert "_" in r0["id"] and len(r0["content"]) <= 500
 
 

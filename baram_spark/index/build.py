@@ -437,6 +437,30 @@ def shard_expr(n_shards: int):
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards))
 
 
+def resolve_shuffle_mode(master: str | None, mode: str = "auto") -> str:
+    """Pick the postings shuffle strategy for this deployment.
+
+    ``"rows"`` and ``"blob"`` pass through (explicit override). ``"auto"``
+    selects on where the postings exchange physically lands — the one
+    variable that flips the measured tradeoff in :func:`build_postings`:
+
+    * ``local[...]`` master → **rows**: the shuffle is same-box disk, so
+      the ~10× byte reduction of map-side packing buys nothing while its
+      per-partial decode/re-encode CPU cost is pure overhead (measured:
+      rows 23.9 s vs blob 36.4 s at 30M postings, local[8]).
+    * any cluster master (yarn, k8s, spark://, …) → **blob**: the exchange
+      crosses the network, where ~3 bytes/posting vs ~40-byte rows is the
+      dominant term and Zipf-head terms arrive pre-compacted (the classic
+      inverted-index combiner; measured to SCALE better 8→32 even on one
+      box: 1.63× vs 1.27×).
+    """
+    if mode in ("rows", "blob"):
+        return mode
+    if mode != "auto":
+        raise ValueError(f"shuffle_mode must be rows|blob|auto, got {mode!r}")
+    return "rows" if (master or "").startswith("local") else "blob"
+
+
 def build_postings(
     spark: SparkSession,
     doc_terms: DataFrame,

@@ -41,6 +41,7 @@ from .build import (
     build_postings,
     extract_docs,
     plan_salts,
+    resolve_shuffle_mode,
     shard_expr,
     tokenize_docs,
 )
@@ -169,7 +170,7 @@ class IndexBuilder:
         shards_per_job: int | None = None,
         build_embeddings: bool = False,
         embed_fn=None,
-        shuffle_mode: str = "rows",
+        shuffle_mode: str = "auto",
         phase_threshold: int = 100_000,
         retain_snapshots: int = 2,
     ):
@@ -184,13 +185,15 @@ class IndexBuilder:
         # model swap point (see query.hybrid.embed_docs).
         self.build_embeddings = build_embeddings
         self.embed_fn = embed_fn
-        # "rows" (default) = salted row shuffle + blob merge — fastest on
-        # single-box local-disk shuffle (this bench). "blob" = map-side
-        # packing + ONE blob-level exchange moving ~3 bytes/posting — the
-        # strategy for real clusters where shuffle crosses the network.
-        # Identical output either way (byte-identity asserted in tests);
-        # see build.build_postings for the measured tradeoff.
-        self.shuffle_mode = shuffle_mode
+        # "rows" = salted row shuffle + blob merge — fastest on single-box
+        # local-disk shuffle (this bench). "blob" = map-side packing + ONE
+        # blob-level exchange moving ~3 bytes/posting — the strategy for
+        # real clusters where shuffle crosses the network. "auto" (default)
+        # picks per deployment from the master URL. Identical output either
+        # way (byte-identity asserted in tests); see build.build_postings
+        # for the measured tradeoff.
+        self.shuffle_mode = resolve_shuffle_mode(
+            spark.sparkContext.master, shuffle_mode)
         # extract-stage phasing crossover (docs): see _stage_extract_tokenize
         self.phase_threshold = phase_threshold
         # snapshots whose generation dirs survive GC (readers pinned to a

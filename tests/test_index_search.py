@@ -200,8 +200,9 @@ def test_filtered_search_returns_k_in_category(spark, index_dir):
 
 def test_salting_was_exercised(spark, index_dir, work_dir):
     """Rows mode with salt_threshold=100 must salt the Zipf head terms —
-    verify heavy terms exist, no duplicate rows leak, and the rows-mode
-    index ranks identically to the default blob-mode index fixture."""
+    verify heavy terms exist, no duplicate rows leak, and the explicit
+    rows-mode index ranks identically to the default-mode index fixture
+    (auto → rows on this local master)."""
     out2 = f"{work_dir}/idx_rows"
     rows_builder = IndexBuilder(
         spark, out2, n_shards=4, salt_threshold=100, shard_concurrency=2,

@@ -137,3 +137,29 @@ def test_exact_dedup_has_partial_aggregate(spark):
     # map-side combine: partial HashAggregate before the exchange
     assert plan.count("HashAggregate") >= 2, plan
     assert _n_shuffles(exact_dedup(docs)) == 1, plan
+
+
+def test_resolve_shuffle_mode():
+    """auto = rows on a single-box local master (shuffle never crosses a
+    network), blob on any cluster master; explicit modes pass through."""
+    from baram_spark.index.build import resolve_shuffle_mode
+
+    assert resolve_shuffle_mode("local[32]") == "rows"
+    assert resolve_shuffle_mode("local[*]", "auto") == "rows"
+    for cluster in ("yarn", "spark://host:7077", "k8s://https://api:6443"):
+        assert resolve_shuffle_mode(cluster) == "blob"
+    assert resolve_shuffle_mode(None) == "blob"
+    assert resolve_shuffle_mode("yarn", "rows") == "rows"
+    assert resolve_shuffle_mode("local[8]", "blob") == "blob"
+    with pytest.raises(ValueError, match="rows|blob|auto"):
+        resolve_shuffle_mode("local[8]", "fast")
+
+
+def test_builder_resolves_auto_mode(spark):
+    """On the test session's local master the default builder must land on
+    rows (and expose the resolved mode, not the sentinel)."""
+    b = IndexBuilder(spark, "/tmp/_mode_probe", n_shards=2)
+    assert b.shuffle_mode == "rows"
+    b2 = IndexBuilder(spark, "/tmp/_mode_probe", n_shards=2,
+                      shuffle_mode="blob")
+    assert b2.shuffle_mode == "blob"

@@ -93,9 +93,21 @@ def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
-                        bands: int = 4) -> DataFrame:
+                        bands: int = 4,
+                        parallelism: int | None = None) -> DataFrame:
     """Band the signature (rows_per_band = n_hashes/bands); docs sharing any
-    band bucket become candidate pairs (e1 < e2, distinct)."""
+    band bucket become candidate pairs (e1 < e2, distinct).
+
+    The banded table and the pair-dedup are explicitly hash-partitioned at
+    ``parallelism`` (default 2× defaultParallelism): signature rows are a
+    few bytes each but each bucket EXPLODES into its pair product in the
+    self-join, so AQE's byte-based coalescing would funnel the whole
+    explosion through one task (measured at sf0.1: 1 post-AQE partition,
+    11.8 s single-threaded vs ~2 s partitioned). Co-partitioning both
+    self-join sides on (band, sig) also means the join adds no exchange of
+    its own, and dropDuplicates reuses the (id1, id2) repartition."""
+    if parallelism is None:
+        parallelism = 2 * signatures.sparkSession.sparkContext.defaultParallelism
     if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
         # bands > n_hashes would band on the EMPTY signature (every doc
         # pairs with every doc — a silent O(n²) cross join); a
@@ -117,6 +129,7 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
     all_bands = banded[0]
     for df in banded[1:]:
         all_bands = all_bands.unionByName(df)
+    all_bands = all_bands.repartition(parallelism, "band", "sig")
     a, b_ = all_bands.alias("a"), all_bands.alias("b")
     return (
         a.join(
@@ -128,26 +141,189 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
         .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
-        .distinct()
+        .repartition(parallelism, "id1", "id2")
+        .dropDuplicates()
     )
 
 
+_JACCARD_SCHEMA = "id1 long, id2 long, n_common long, jaccard double"
+
+
+def _verify_from_broadcast(sets_bc, threshold: float):
+    """Arrow kernel over bare (id1, id2) pairs; doc→frozenset dict rides
+    a Spark broadcast (small-corpus layout)."""
+
+    def verify(batches):
+        import pyarrow as pa
+
+        sets = sets_bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            id1 = b.column("id1").to_numpy(zero_copy_only=False).tolist()
+            id2 = b.column("id2").to_numpy(zero_copy_only=False).tolist()
+            o1, o2, onc, oj = [], [], [], []
+            for d1, d2 in zip(id1, id2):
+                a = sets.get(d1)
+                bset = sets.get(d2)
+                if a is None or bset is None:
+                    continue  # doc without shingles: inner-join semantics
+                nc = len(a & bset)
+                if not nc:
+                    continue
+                j = nc / (len(a) + len(bset) - nc)
+                if j >= threshold:
+                    o1.append(d1); o2.append(d2); onc.append(nc); oj.append(j)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o1, pa.int64()), pa.array(o2, pa.int64()),
+                 pa.array(onc, pa.int64()), pa.array(oj, pa.float64())],
+                names=["id1", "id2", "n_common", "jaccard"])
+
+    return verify
+
+
+def _verify_from_arrays(threshold: float):
+    """Arrow kernel over pairs carrying their two packed shingle-set
+    arrays (scale layout); sets memoized per worker, built zero-copy from
+    the list buffers."""
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        memo = {}
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            id1 = b.column("id1").to_numpy(zero_copy_only=False).tolist()
+            id2 = b.column("id2").to_numpy(zero_copy_only=False).tolist()
+            c1, c2 = b.column("sh1"), b.column("sh2")
+            f1 = c1.flatten().to_numpy(zero_copy_only=False)
+            f2 = c2.flatten().to_numpy(zero_copy_only=False)
+            o1 = np.zeros(n + 1, dtype=np.int64)
+            o1[1:] = np.cumsum(c1.value_lengths())
+            o2 = np.zeros(n + 1, dtype=np.int64)
+            o2[1:] = np.cumsum(c2.value_lengths())
+            out1, out2, onc, oj = [], [], [], []
+            for i in range(n):
+                d1 = id1[i]
+                a = memo.get(d1)
+                if a is None:
+                    a = memo[d1] = frozenset(f1[o1[i]:o1[i + 1]].tolist())
+                d2 = id2[i]
+                bset = memo.get(d2)
+                if bset is None:
+                    bset = memo[d2] = frozenset(f2[o2[i]:o2[i + 1]].tolist())
+                nc = len(a & bset)
+                if not nc:
+                    continue
+                j = nc / (len(a) + len(bset) - nc)
+                if j >= threshold:
+                    out1.append(d1); out2.append(d2)
+                    onc.append(nc); oj.append(j)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out1, pa.int64()), pa.array(out2, pa.int64()),
+                 pa.array(onc, pa.int64()), pa.array(oj, pa.float64())],
+                names=["id1", "id2", "n_common", "jaccard"])
+
+    return verify
+
+
 def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None, *,
+                        broadcast_docs_threshold: int = 200_000,
+                        parallelism: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
-    (optionally restricted to LSH candidates). jaccard = |A∩B|/|A∪B|."""
-    sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    left = right = shingle_df
+    (optionally restricted to LSH candidates). jaccard = |A∩B|/|A∪B|.
+
+    ``shingle_df`` must be DISTINCT (doc_id, shingle) rows — set
+    semantics, as every caller and the oracle SQL already enforce.
+
+    The GATED path (``candidates`` given) verifies each candidate pair
+    against the docs' shingle sets in an Arrow-batched Python kernel and
+    never touches the shingle-bucket self-join. That shape was chosen by
+    measurement at sf0.1 (7.5M candidate pairs, 5k docs, 23 shingles/doc
+    avg): doc-level semi-join pruning of the self-join 68 s (a hot
+    shingle shared by most candidate docs still yields |docs|² bucket
+    rows); per-pair ``size(array_intersect(...))`` 95 s (Catalyst pushes
+    the threshold filter into the join condition where the interpreted
+    intersect re-evaluates ~3× per row at ~170 µs each); exploded
+    pair×shingle equi-join 47 s (155M-row intermediate). The Arrow
+    kernel with per-worker memoized frozensets runs the same verification
+    in ~3 s of worker time — intersection of two small int sets is a
+    C-level operation, and each doc's set is built once per worker, not
+    once per pair.
+
+    Shingles are reduced to 60-bit md5-prefix ints (the module's standard
+    ``_h`` hash) before set building: a within-pair collision — the only
+    event that could perturb a count — has probability ~k²/2⁶⁰ per pair
+    and is deterministic (both the engine and any mirror oracle would
+    hash identically). Two physical layouts, picked by doc count like a
+    join strategy:
+
+    * ≤ ``broadcast_docs_threshold`` distinct docs → the doc→set dict is
+      a Spark broadcast and only (id1, id2) pairs flow through the
+      kernel;
+    * above it → each pair carries its two packed set arrays through two
+      doc_id-keyed joins (no driver/broadcast materialization of the doc
+      axis — the 100-TB layout; same bytes the exploded join would
+      shuffle, 1-2 orders fewer rows).
+
+    ``parallelism`` (default 2× defaultParallelism) repartitions the
+    candidate stream before the kernel: AQE coalesces exchanges by BYTE
+    size, and candidate pairs are 16 bytes each carrying ~10⁴ bytes of
+    downstream verify work, so byte-based coalescing would strangle the
+    stage (measured: 3 post-AQE partitions at sf0.1)."""
     if candidates is not None:
-        # prune BEFORE the shingle self-join — Catalyst cannot push a
-        # pair-level semi join through a two-sided join, so filtering
-        # afterwards would leave the quadratic pair generation intact
-        ids1 = candidates.select(F.col("id1").alias("doc_id")).distinct()
-        ids2 = candidates.select(F.col("id2").alias("doc_id")).distinct()
-        # plain semi joins: AQE broadcasts them when small enough
-        left = shingle_df.join(ids1, "doc_id", "left_semi")
-        right = shingle_df.join(ids2, "doc_id", "left_semi")
-    a, b = left.alias("a"), right.alias("b")
+        spark = shingle_df.sparkSession
+        hashed = shingle_df.select(
+            "doc_id", _h(F.col("shingle"), 0).alias("h"))
+        doc_sets = hashed.groupBy("doc_id").agg(
+            F.collect_set("h").alias("shset"))
+        if parallelism is None:
+            parallelism = 2 * spark.sparkContext.defaultParallelism
+        pairs = candidates.select("id1", "id2").repartition(parallelism)
+        # The shingle relation feeds THREE computations: the doc count,
+        # the set collection, and (through the caller's composition) the
+        # LSH candidate pipeline. Persist it so they share one scan. In
+        # the broadcast path the relation is ≤ threshold docs by
+        # definition, so the cache is bounded and stays (candidate
+        # evaluation reuses it); the array path unpersists right after
+        # the count.
+        from pyspark import StorageLevel
+
+        we_persisted = shingle_df.storageLevel == StorageLevel.NONE
+        if we_persisted:
+            shingle_df.persist()
+        # column-pruned distinct count — one cheap job at plan-build time
+        n_docs = shingle_df.select("doc_id").distinct().count()
+        if n_docs <= broadcast_docs_threshold:
+            sets = {r["doc_id"]: frozenset(r["shset"])
+                    for r in doc_sets.collect()}
+            bc = spark.sparkContext.broadcast(sets)
+            out = pairs.mapInArrow(
+                _verify_from_broadcast(bc, threshold), _JACCARD_SCHEMA)
+        else:
+            if we_persisted:
+                shingle_df.unpersist()
+            joined = (
+                pairs
+                .join(doc_sets.select(F.col("doc_id").alias("id1"),
+                                      F.col("shset").alias("sh1")), "id1")
+                .join(doc_sets.select(F.col("doc_id").alias("id2"),
+                                      F.col("shset").alias("sh2")), "id2")
+            )
+            out = joined.mapInArrow(
+                _verify_from_arrays(threshold), _JACCARD_SCHEMA)
+        # kernel filters on the UNROUNDED ratio and returns it raw;
+        # rounding stays in Spark so the result matches F.round (HALF_UP,
+        # what the DuckDB oracle's ROUND does) rather than Python's
+        # banker's rounding
+        return out.withColumn("jaccard", F.round("jaccard", 6))
+    # exact all-pairs verifier — O(docs-per-shingle²); small-n only
+    sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = shingle_df.alias("a"), shingle_df.alias("b")
     common = (
         a.join(
             b,
@@ -159,10 +335,6 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
         )
         .agg(F.count("*").alias("n_common"))
     )
-    if candidates is not None:
-        # the exact pair restriction still applies (doc-level pruning
-        # above only bounds the join inputs)
-        common = common.join(candidates, ["id1", "id2"], "left_semi")
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
     return (
@@ -173,9 +345,6 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
             F.col("n_common")
             / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
         )
-        # threshold on the UNROUNDED ratio (the DuckDB oracle filters the
-        # raw ratio too; rounding first would admit pairs a hair below
-        # the cutoff), round only the returned column
         .filter(F.col("_j_raw") >= threshold)
         .withColumn("jaccard", F.round(F.col("_j_raw"), 6))
         .select("id1", "id2", "n_common", "jaccard")

@@ -116,9 +116,10 @@ def test_lsh_bands_validation(spark):
         lsh_candidate_pairs(sig, n_hashes=8, bands=3)  # dropped hashes
 
 
-def test_jaccard_candidates_prune_before_self_join(spark):
-    """The candidate restriction must reach BELOW the quadratic shingle
-    self-join (semi joins on both inputs), not just filter its output."""
+def test_jaccard_gated_path_never_self_joins(spark):
+    """The gated verifier must verify candidate PAIRS (Arrow kernel), not
+    filter the output of the quadratic shingle-bucket self-join — no
+    SortMergeJoin/shingle-keyed join may appear in the gated plan."""
     from baram_spark.operators.dedup import ngram_jaccard_pairs
 
     sh = spark.createDataFrame(
@@ -128,9 +129,47 @@ def test_jaccard_candidates_prune_before_self_join(spark):
     cand = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
     out = ngram_jaccard_pairs(sh, threshold=0.0, candidates=cand)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("LeftSemi") >= 3, plan
+    assert "MapInArrow" in plan, plan
+    assert "shingle#" not in plan.split("MapInArrow")[0], plan
     rows = out.collect()
     assert all((r["id1"], r["id2"]) == (1, 2) for r in rows)
+    assert len(rows) == 1 and rows[0]["n_common"] >= 1
+
+
+def test_jaccard_broadcast_and_array_layouts_agree(spark):
+    """The two physical layouts (broadcast doc→set dict vs per-pair set
+    arrays) must return identical verified pairs, counts, and rounded
+    jaccard values."""
+    import random
+
+    from baram_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (d, s)
+        for d in range(40)
+        for s in set(rng.sample(vocab, rng.randint(5, 12)))
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sig = minhash_signatures(sh, n_hashes=4)
+    cand = lsh_candidate_pairs(sig, n_hashes=4, bands=2)
+
+    def norm(df):
+        return sorted(
+            (r["id1"], r["id2"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    small = norm(ngram_jaccard_pairs(sh, threshold=0.3, candidates=cand,
+                                     broadcast_docs_threshold=10**6))
+    large = norm(ngram_jaccard_pairs(sh, threshold=0.3, candidates=cand,
+                                     broadcast_docs_threshold=0))
+    assert small == large and len(small) > 0
 
 
 def test_avg_word_len_multispace(spark):

@@ -367,14 +367,16 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
     In-process committers: a per-index ``threading.Lock`` (full mutual
     exclusion, non-blocking — a held lock raises immediately so the
     caller's OCC retry loop re-reads a fresh snapshot).  Cross-process,
-    local stores: a true ``O_CREAT|O_EXCL`` lock file (a crashed
-    holder's lock is broken after ``ttl_s``).  Cross-process, other
-    stores: write-settle-readback emulation with owner fencing — raises
+    local stores: an advisory ``flock(LOCK_EX)`` on a persistent lock
+    file — kernel-owned, so a crashed holder's lock releases the instant
+    its fds close (no ``ttl_s`` heuristics, no stale-break races; the
+    lock FILE is never unlinked, which would reopen the classic
+    flock-after-unlink double-hold).  Cross-process, other stores:
+    write-settle-readback emulation with owner fencing — raises
     :class:`CommitLockError` when another fresh lock exists or the
     readback shows a competing writer won; the residual double-hold
-    window is documented in the module docstring.  The file lock is
-    released on exit only if still owned (never deletes a successor's
-    lock)."""
+    window is documented in the module docstring, and release deletes
+    the lock only if still owned (never a successor's lock)."""
     base = index_dir.rstrip("/")
     plock = _proc_lock(base)
     if not plock.acquire(blocking=False):
@@ -386,38 +388,23 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
         f, lp = resolve(lock_uri)
         makedirs(base)
         if isinstance(f, pafs.LocalFileSystem):
-            fd = None
-            for attempt in (0, 1):
-                try:
-                    fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    try:
-                        age = time.time() - os.path.getmtime(lp)
-                    except FileNotFoundError:
-                        continue  # holder just released; retry the create
-                    if attempt == 0 and age > ttl_s:
-                        try:
-                            os.remove(lp)  # break a crashed holder's lock
-                        except FileNotFoundError:
-                            pass
-                        continue
-                    raise CommitLockError(
-                        f"commit lock held on {base} (age {age:.1f}s)")
-            if fd is None:
-                raise CommitLockError(f"commit lock held on {base}")
+            import fcntl
+
+            fd = os.open(lp, os.O_CREAT | os.O_WRONLY)
             try:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError as e:
+                    raise CommitLockError(
+                        f"commit lock held on {base}") from e
+                # owner/ts are telemetry for humans; the kernel flock is
+                # the actual mutex
+                os.ftruncate(fd, 0)
                 os.write(fd, json.dumps(
                     {"owner": token, "ts": time.time()}).encode())
-            finally:
-                os.close(fd)
-            try:
                 yield token
             finally:
-                try:
-                    os.remove(lp)
-                except FileNotFoundError:
-                    pass
+                os.close(fd)  # releases the flock; file stays in place
             return
         # object-store emulation: check → write → settle → readback fence
         existing = _read_lock(lock_uri)

@@ -216,24 +216,34 @@ def test_commit_lock_local_is_exclusive(tmp_path):
     # released on exit: re-acquire works
     with fs.commit_lock(base):
         pass
-    # ANOTHER process's fresh lock file (O_EXCL path): rejected until ttl
-    with open(f"{base}/_commit.lock", "w") as f:
-        f.write(json.dumps({"owner": "other-proc", "ts": time.time()}))
-    with pytest.raises(fs.CommitLockError):
-        with fs.commit_lock(base, ttl_s=60.0):
-            pass
-    os.remove(f"{base}/_commit.lock")
+    # ANOTHER process's LIVE lock (a held flock on a separate fd — flock
+    # is per open-file-description, so this models a second process):
+    # rejected regardless of ttl
+    import fcntl
+
+    other = os.open(f"{base}/_commit.lock", os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(other, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        with pytest.raises(fs.CommitLockError):
+            with fs.commit_lock(base, ttl_s=60.0):
+                pass
+    finally:
+        os.close(other)
+    # ...and acquirable the moment the holder's fd closes
+    with fs.commit_lock(base):
+        pass
 
 
-def test_commit_lock_local_breaks_stale_lock(tmp_path):
+def test_commit_lock_local_crashed_holder_releases(tmp_path):
     base = str(tmp_path / "idx")
     os.makedirs(base)
-    # a crashed holder's lock (no release) is broken after ttl
+    # a crashed holder leaves its lock FILE but the kernel dropped its
+    # flock with the process — acquirable immediately, no ttl wait
     with open(f"{base}/_commit.lock", "w") as f:
         f.write(json.dumps({"owner": "dead", "ts": 0}))
     old = time.time() - 3600
     os.utime(f"{base}/_commit.lock", (old, old))
-    with fs.commit_lock(base, ttl_s=1.0):
+    with fs.commit_lock(base, ttl_s=1e9):
         pass
 
 

@@ -130,11 +130,42 @@ def split_index(
     missing = set(range(n_shards)) - set(assigned)
     if missing:
         raise ValueError(f"unassigned shards: {sorted(missing)}")
+    empty = [i for i, ss in enumerate(shard_sets) if not ss]
+    if empty:
+        # validated BEFORE any node dir is materialized — an empty set
+        # would otherwise fail mid-split (gens with wrote_any=False have
+        # no shard to plant the schema-only file under), leaving partial
+        # multi-node output with an opaque error
+        raise ValueError(
+            f"node(s) {empty} have an empty shard set "
+            f"(n_shards={n_shards}, n_nodes={n_nodes}); every serving "
+            "node must hold >= 1 shard — use fewer node dirs or pass "
+            "explicit shard_sets"
+        )
 
     from .build import shard_expr
 
     gens = _committed_gens(index_dir, "postings")
     post_schema_file = _any_parquet_file(f"{index_dir}/postings")
+
+    # global committed embedding count, written into every node's split
+    # descriptor: ServingContext keys its IVF activation off this number
+    # (when present) instead of the node-local matrix size, so a split
+    # topology and the unsplit engine flip to approximate vector serving
+    # at the SAME corpus size (see router.py's identity contract).
+    n_emb_global = 0
+    emb_base = f"{index_dir}/embeddings"
+    if fs.exists(emb_base):
+        import pyarrow.dataset as ds
+
+        efs, ep = fs.resolve(emb_base)
+        emb_ds = ds.dataset(ep, format="parquet", partitioning="hive",
+                            filesystem=efs)
+        if gens and "gen" in emb_ds.schema.names:
+            n_emb_global = emb_ds.count_rows(
+                filter=ds.field("gen").isin([int(g) for g in gens]))
+        else:
+            n_emb_global = emb_ds.count_rows()
 
     for node_dir, shards in zip(node_dirs, shard_sets):
         node_dir = node_dir.rstrip("/")
@@ -189,11 +220,14 @@ def split_index(
                  .write.mode("overwrite")
                  .parquet(_sp(f"{node_dir}/embeddings/gen={g}")))
 
-        # node-local split descriptor (ops telemetry; nothing reads it on
-        # the query path)
+        # node-local split descriptor: mostly ops telemetry, but
+        # n_embeddings is load-bearing — _Snapshot uses it to key IVF
+        # activation to the GLOBAL corpus size (topology-consistent
+        # approximate/exact switching)
         fs.write_text(
             f"{node_dir}/_shard_set.json",
             json.dumps({"source": index_dir, "n_shards": n_shards,
-                        "shards": sorted(int(s) for s in shards)}),
+                        "shards": sorted(int(s) for s in shards),
+                        "n_embeddings": int(n_emb_global)}),
         )
     return shard_sets

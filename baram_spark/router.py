@@ -11,7 +11,16 @@ explicit).
 Identity contract (pinned by ``tests/test_router.py``): on an index
 split with ``index.split.split_index`` (global stats copied verbatim),
 the router's response is rank- AND score-identical to a single
-``ServingContext`` over the unsplit index, for every mode and filter:
+``ServingContext`` over the unsplit index, for every mode and filter —
+on the EXACT serving paths, which is every keyword query and every
+vector/hybrid query while the corpus is under ``ivf_threshold``. Above
+the threshold both topologies switch to approximate IVF vector serving
+*together* (activation is keyed to the same global committed embedding
+count — the split descriptor's ``n_embeddings``, see
+``index/split.py`` / ``serving._Snapshot``), at which point surfaced
+candidates still carry identical scores (same normalized dot product
+against the same global stats) but the candidate SETS are approximate
+and may differ between topologies, as between any two IVF builds:
 
 * **keyword / vector**: each node returns its exact local top-k with
   globally-correct scores (global idf/avgdl ride in the copied stats
@@ -204,20 +213,35 @@ class Router:
                 int(b.get("document_count", 0)) for b in bodies),
         }
 
+    def _node_events(self, node: str, category: str | None) -> dict:
+        """ALL of one node's (category-filtered) clusters, walking the
+        node's offset pagination (page cap 200) until its reported total
+        is reached — a node holding >200 clusters must not be silently
+        truncated to its first page."""
+        events: list[dict] = []
+        message = None
+        while True:
+            sub = {"limit": "200", "offset": str(len(events))}
+            if category is not None:
+                sub["category"] = category
+            b = self._call(node, f"/api/events?{urlencode(sub)}")
+            page = b.get("events") or []
+            events.extend(page)
+            message = message or b.get("message")
+            if not page or len(events) >= int(b.get("total", 0)):
+                return {"events": events, "message": message}
+
     def list_events(self, category: str | None = None, offset: int = 0,
                     limit: int = 20) -> dict:
-        """Merged event clusters: union across nodes, dedupe by event_id,
-        the nodes' canonical sort, then paginate. Each node is asked for
-        its full first page (node cap 200) — clusters are a small sidecar
-        by contract."""
-        sub = {"limit": "200", "offset": "0"}
-        if category is not None:
-            sub["category"] = category
-        path = f"/api/events?{urlencode(sub)}"
-        bodies = self._fan([(n, path, "GET") for n in self.nodes])
+        """Merged event clusters: full union across nodes (each node's
+        pagination walked to its total), dedupe by event_id, the nodes'
+        canonical sort, then paginate at the router."""
+        futs = [self._pool.submit(self._node_events, n, category)
+                for n in self.nodes]
+        bodies = [f.result() for f in futs]
         by_id: dict[str, dict] = {}
         for b in bodies:
-            for e in b.get("events") or []:
+            for e in b["events"]:
                 by_id.setdefault(e.get("event_id", ""), e)
         evs = sorted(
             by_id.values(),
@@ -226,7 +250,7 @@ class Router:
         )
         if not evs:
             return {"total": 0, "events": [],
-                    "message": bodies[0].get("message")
+                    "message": bodies[0]["message"]
                     or "No clusters found."}
         total = len(evs)
         limit = max(0, min(limit, 200))

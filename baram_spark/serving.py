@@ -287,6 +287,7 @@ class _Snapshot:
         self.matn = None
         self.emb_norms = None
         self._emb_raw = None  # lazy raw-matrix memo (see the property)
+        n_emb_committed = 0  # pre-tombstone committed rows (IVF gating)
         emb_dir = f"{base}/embeddings"
         if fs.exists(emb_dir):
             emb_fs, emb_path = fs.resolve(emb_dir)
@@ -304,6 +305,7 @@ class _Snapshot:
                                   filter=emb_filter)
             ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
             mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+            n_emb_committed = int(ids.size)  # pre-tombstone, for IVF gating
             keep = np.array(
                 [i not in denied for i in ids.tolist()], dtype=bool
             )
@@ -321,9 +323,25 @@ class _Snapshot:
         # grows. Built once per snapshot; scores are IDENTICAL to the
         # exact path for every candidate surfaced (same normalized-matrix
         # dot product), only recall is traded.
+        #
+        # Activation is keyed to the GLOBAL committed embedding count, not
+        # the node-local matrix: a split-index node (index/split.py) reads
+        # the count from its _shard_set.json descriptor, an unsplit index
+        # uses its own committed rows (pre-tombstone, the same quantity
+        # the descriptor records). Without this, a corpus straddling
+        # ivf_threshold would serve EXACT vectors from split nodes while
+        # the unsplit engine serves APPROXIMATE — breaking the router's
+        # topology-identity contract in both directions.
+        n_emb_activation = n_emb_committed
+        if self.emb_ids is not None:
+            try:
+                desc = json.loads(fs.read_text(f"{base}/_shard_set.json"))
+                n_emb_activation = int(desc["n_embeddings"])
+            except (FileNotFoundError, OSError, ValueError, KeyError):
+                pass  # not a split node (or an old descriptor): local count
         self.ivf = None
         if (self.matn is not None and ivf_threshold is not None
-                and self.emb_ids.size >= ivf_threshold):
+                and n_emb_activation >= ivf_threshold):
             self.ivf = _IvfServing.build(
                 matn=self.matn, n_cells=ivf_cells, n_probes=ivf_probes,
                 n_assign=ivf_assign,

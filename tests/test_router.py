@@ -179,3 +179,64 @@ def test_split_rejects_bad_assignments(spark, topology):
     with pytest.raises(ValueError, match="twice"):
         split_index(spark, topology["full"], ["/tmp/x0", "/tmp/x1"],
                     shard_sets=[{0, 1, 2}, {2, 3}])
+    # an empty shard set is rejected BEFORE any node dir materializes —
+    # both the explicit form and the implicit one (more node dirs than
+    # shards under the default round-robin)
+    with pytest.raises(ValueError, match="empty shard set"):
+        split_index(spark, topology["full"], ["/tmp/x0", "/tmp/x1"],
+                    shard_sets=[{0, 1, 2, 3}, set()])
+    with pytest.raises(ValueError, match="empty shard set"):
+        split_index(spark, topology["full"],
+                    [f"/tmp/x{i}" for i in range(5)])  # 4-shard index
+    import os
+
+    assert not any(os.path.exists(f"/tmp/x{i}") for i in range(5))
+
+
+def test_ivf_activation_is_topology_consistent(spark, topology):
+    """A corpus straddling ivf_threshold (global count above, per-node
+    local counts below) must flip BOTH topologies to IVF together: the
+    split descriptor carries the global committed embedding count and
+    _Snapshot keys activation off it (router.py identity contract)."""
+    root = topology["full"].rsplit("/", 1)[0]
+    desc = json.loads(fs.read_text(f"{root}/node0/_shard_set.json"))
+    n_global = desc["n_embeddings"]
+    single = ServingContext(spark, topology["full"],
+                            ivf_threshold=n_global)
+    assert single._snap.ivf is not None  # unsplit: local == global count
+    for node in ("node0", "node1"):
+        ctx = ServingContext(spark, f"{root}/{node}",
+                             ivf_threshold=n_global)
+        # node-local matrix is ~half the corpus — WITHOUT the descriptor
+        # this would stay exact while the unsplit engine went approximate
+        assert ctx._snap.emb_ids.size < n_global
+        assert ctx._snap.ivf is not None
+    # and below-threshold stays exact everywhere (the fixture default)
+    assert topology["single"]._snap.ivf is None
+
+
+def test_router_events_pagination_not_truncated():
+    """A node holding >200 clusters (the node page cap) must contribute
+    ALL of them to the router merge, not just its first page."""
+    events = [
+        {"event_id": f"e{i:04d}", "article_count": 1000 - i,
+         "category": "sports", "title": f"ev {i}"}
+        for i in range(250)
+    ]
+
+    router = Router(["http://fake-node"])
+
+    def fake_call(node, path, method="GET"):
+        qs = urllib.parse.parse_qs(urllib.parse.urlparse(path).query)
+        offset = int(qs.get("offset", ["0"])[0])
+        limit = min(int(qs.get("limit", ["20"])[0]), 200)
+        return {"total": len(events), "offset": offset, "limit": limit,
+                "events": events[offset:offset + limit]}
+
+    router._call = fake_call
+    body = router.list_events(limit=20, offset=0)
+    assert body["total"] == 250
+    tail = router.list_events(limit=200, offset=200)
+    assert [e["event_id"] for e in tail["events"]] == [
+        f"e{i:04d}" for i in range(200, 250)
+    ]

@@ -85,26 +85,36 @@ def _pack_probe(seed_repo):
     _s.path.insert(0, repo)
     import numpy as _np
     import pandas as _pd
+    import pyarrow as _pa
 
-    from baram_spark.index.build import _pack_runs
+    from baram_spark.index.build import _pack_partition_arrow
+    from baram_spark.index.codec import CODEC_VARINT
 
+    # mirrors the production packer exactly: UNSORTED arrow batches in,
+    # dictionary-encode + int-key lexsort + vectorized encode inside
     rng = _np.random.default_rng(seed)
     n = 400_000
-    group = _np.sort(rng.integers(0, 4000, n))
+    group = rng.integers(0, 4000, n)
     pdf = _pd.DataFrame(
         {
-            "shard": (group % 8).astype("int32"),
+            "doc_id": rng.integers(0, 10**9, n).astype("int64"),
             "field": _np.where(group % 2 == 0, "content", "title"),
             "term": _np.char.add("t", group.astype(str)),
+            "tf": rng.integers(1, 5, n).astype("int32"),
+            "dl": rng.integers(20, 200, n).astype("int32"),
+            "shard": (group % 8).astype("int32"),
             "salt": _np.zeros(n, dtype="int32"),
-            "doc_id": _np.sort(rng.integers(0, 10**9, n)),
-            "tf": rng.integers(1, 5, n).astype("int64"),
-            "dl": rng.integers(20, 200, n).astype("int64"),
         }
-    ).sort_values(
-        ["shard", "field", "term", "salt", "doc_id"], kind="stable"
-    ).reset_index(drop=True)
-    return len(_pack_runs(pdf, {"title": 5.0, "content": 130.0}, 1))
+    )
+    run = _pack_partition_arrow({"title": 5.0, "content": 130.0},
+                                CODEC_VARINT)
+    step = (n + 47) // 48
+    batches = [
+        _pa.RecordBatch.from_pandas(pdf.iloc[i : i + step],
+                                    preserve_index=False)
+        for i in range(0, n, step)
+    ]
+    return sum(out.num_rows for out in run(iter(batches)))
 
 
 def workload_capacity() -> dict:

@@ -163,3 +163,64 @@ def test_builder_resolves_auto_mode(spark):
     b2 = IndexBuilder(spark, "/tmp/_mode_probe", n_shards=2,
                       shuffle_mode="blob")
     assert b2.shuffle_mode == "blob"
+
+
+def test_arrow_packer_matches_legacy_packer_kernel():
+    """_pack_partition_arrow (unsorted arrow input, production) must emit
+    byte-identical groups to _pack_runs (the legacy sorted-pandas kernel)
+    — both codecs, salted groups included."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_spark.index.build import _pack_partition_arrow, _pack_runs
+    from baram_spark.index.codec import CODEC_FOR, CODEC_VARINT
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    group = rng.integers(0, 900, n)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": rng.choice(10**9, size=n, replace=False).astype(
+                "int64"
+            ),
+            "field": np.where(group % 3 == 0, "title", "content"),
+            "term": np.char.add("t", (group // 3).astype(str)),
+            "tf": rng.integers(1, 9, n).astype("int32"),
+            "dl": rng.integers(5, 400, n).astype("int32"),
+            "shard": (group % 4).astype("int32"),
+            "salt": (group % 5).astype("int32"),
+        }
+    )
+    avgdl = {"title": 5.0, "content": 130.0}
+    for codec in (CODEC_VARINT, CODEC_FOR):
+        run = _pack_partition_arrow(avgdl, codec)
+        batches = [
+            pa.RecordBatch.from_pandas(chunk, preserve_index=False)
+            for chunk in np.array_split(pdf, 7)
+        ]
+        got = {}
+        for out in run(iter(batches)):
+            t = out.to_pydict()
+            for i in range(out.num_rows):
+                k = (t["shard"][i], t["field"][i], t["term"][i],
+                     t["salt"][i])
+                assert k not in got, f"duplicate group {k}"
+                got[k] = (t["df"][i], t["postings"][i], t["skips"][i],
+                          t["blockmax"][i])
+        sorted_pdf = pdf.sort_values(
+            ["shard", "field", "term", "salt", "doc_id"], kind="stable"
+        ).reset_index(drop=True)
+        ref = _pack_runs(sorted_pdf, avgdl, codec)
+        want = {
+            (int(r.shard), r.field, r.term, int(r.salt)): (
+                int(r.df), bytes(r.postings), bytes(r.skips),
+                bytes(r.blockmax),
+            )
+            for r in ref.itertuples()
+        }
+        got = {
+            k: (int(df_), bytes(p), bytes(s), bytes(b))
+            for k, (df_, p, s, b) in got.items()
+        }
+        assert got == want, f"codec {codec} mismatch"

@@ -53,6 +53,14 @@ DOC_TERMS_SCHEMA = (
     "doc_id long, field string, term string, tf int, dl int, first int"
 )
 
+# arrow-pack working-set bound: a packer task buffers at most this many
+# rows at once (one chunk ≈ 7 int64 columns + two short strings ≈ 0.4 GB
+# at 4M rows, plus the sort's index array). Partitions larger than a
+# chunk — unbounded by any shuffle knob on the blob path, where the pack
+# runs straight on scan partitions — are packed chunk-wise and merged
+# group-wise (see _pack_partition_arrow).
+PACK_CHUNK_ROWS = 4_000_000
+
 # the three scored fields of the reference's bool-should query
 # (mod.rs:475-501); chunk_text postings exist only when docs carry chunks
 INDEX_FIELDS = ("title", "content", "chunk_text")
@@ -219,60 +227,18 @@ def _pack_runs(pdf: pd.DataFrame, avgdl_by_field: dict, codec: int) -> pd.DataFr
     return frame
 
 
-def _pack_partition(avgdl_by_field: dict, codec: int):
-    """mapInPandas packer over a partition sorted by (field, term, salt,
-    doc_id). Arrow batches can split a group, so the trailing (possibly
-    incomplete) group of each batch is carried into the next one.
-
-    Legacy streaming path: production packing goes through
-    :func:`_pack_partition_arrow` (no pre-sort, no pandas). This one
-    stays as the constant-memory alternative (it never buffers the
-    partition) and as the independent implementation the byte-identity
-    tests cross-check the arrow packer against."""
-
-    def run(iterator):
-        carry: pd.DataFrame | None = None
-        for pdf in iterator:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            n = len(pdf)
-            if n == 0:
-                continue
-            # hold back the trailing run (it may continue in the next batch)
-            lsh = pdf["shard"].iat[n - 1]
-            lf = pdf["field"].iat[n - 1]
-            lt = pdf["term"].iat[n - 1]
-            ls = pdf["salt"].iat[n - 1]
-            tail_mask = (
-                (pdf["shard"].to_numpy() == lsh)
-                & (pdf["field"].to_numpy() == lf)
-                & (pdf["term"].to_numpy() == lt)
-                & (pdf["salt"].to_numpy() == ls)
-            )
-            # runs are contiguous: the tail run starts at the last False + 1
-            nonmatch = np.flatnonzero(~tail_mask)
-            split = (nonmatch[-1] + 1) if nonmatch.size else 0
-            carry = pdf.iloc[split:]
-            head = pdf.iloc[:split]
-            if len(head):
-                yield _pack_runs(head, avgdl_by_field, codec)
-        if carry is not None and len(carry):
-            yield _pack_runs(carry, avgdl_by_field, codec)
-
-    return run
-
-
-def _pack_partition_arrow(avgdl_by_field: dict, codec: int):
+def _pack_partition_arrow(avgdl_by_field: dict, codec: int,
+                          chunk_rows: int | None = None):
     """mapInArrow packer over an UNSORTED partition — the production pack.
 
-    Replaces ``sortWithinPartitions + _pack_partition`` (kept for other
-    callers): the JVM comparison sort of 30M UnsafeRows with multi-byte
-    string keys and the Arrow→pandas object conversion of the term column
-    were the two dominant non-scaling costs of the postings stage
-    (measured at 400k docs / 30M postings, local[8]/local[32]:
-    JVM-sorted pandas pack 29.5 s / 20.7 s → this path 21.7 s / 17.6 s,
-    byte-identical output). Grouping is done Python-side instead:
+    Replaces ``sortWithinPartitions + _pack_partition`` (the legacy
+    streaming-pandas path, removed): the JVM comparison sort of 30M
+    UnsafeRows with multi-byte string keys and the Arrow→pandas object
+    conversion of the term column were the two dominant non-scaling costs
+    of the postings stage (measured at 400k docs / 30M postings,
+    local[8]/local[32]: JVM-sorted pandas pack 29.5 s / 20.7 s → this
+    path 21.7 s / 17.6 s, byte-identical output). Grouping is done
+    Python-side instead:
 
     - ``dictionary_encode`` the term column (hash-based, C++, no string
       sort, no Python string objects),
@@ -280,10 +246,20 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int):
     - ``np.lexsort((doc_id, key))`` — a fixed-width integer sort,
     - boundary-scan the key and encode each run (vectorized for varint).
 
-    The partition is buffered whole (the sort needs it); size partitions
-    via ``spark.sql.shuffle.partitions`` / the salt plan so a reducer's
-    rows fit executor memory — the same contract the JVM sort had, which
-    spills but then feeds the packer through the same single pass.
+    **Memory bound**: the partition is consumed in chunks of
+    ``chunk_rows`` rows. Each chunk is grouped/encoded independently
+    (O(chunk_rows) working set); when a partition spans several chunks,
+    the per-chunk PARTIAL blobs (packed postings, ~3 bytes/posting — one
+    to two orders smaller than rows) are merged group-wise before the
+    task yields: groups split across chunks are decoded, stable-sorted by
+    doc_id, and re-encoded; unsplit groups pass through untouched. Either
+    way the emitted bytes are identical to a whole-partition pack
+    (pinned by tests). The resident peak is therefore one chunk plus the
+    accumulated partials — NOT the whole partition as rows. This matters
+    most on the blob path (``row_shuffle=False``), where the packer runs
+    directly on scan partitions whose size no shuffle knob bounds; the
+    removed JVM sort tolerated oversized partitions by spilling, and the
+    chunked pack restores that safety with less I/O.
 
     Output groups are sorted by (shard, field, term) so the parquet
     writer's files keep term-lexicographic row-group min/max pruning
@@ -292,6 +268,11 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int):
     """
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    # resolved at CALL time (driver side) so deployments and tests can
+    # set build.PACK_CHUNK_ROWS; the closure ships the resolved int
+    if chunk_rows is None:
+        chunk_rows = PACK_CHUNK_ROWS
 
     out_schema = pa.schema(
         [
@@ -306,15 +287,9 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int):
         ]
     )
 
-    def run(iterator):
-        batches = list(iterator)
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches)
-        del batches
+    def pack_table(tbl):
+        """One buffered chunk → per-group columns (groups unsorted)."""
         n = tbl.num_rows
-        if n == 0:
-            return
         term = tbl.column("term").combine_chunks()
         tdict = term.dictionary_encode()
         tcode = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -332,12 +307,12 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int):
         dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
         del tbl
         # fold the group key into one int64: salt < 64 (plan_salts caps k
-        # at 64), term codes < 2^32 (a partition holds < 2^32 rows); the
+        # at 64), term codes < 2^32 (a chunk holds < 2^32 rows); the
         # shard/field product must leave 38 low bits free
         fcount = len(fnames)
         if salt.size and int(salt.max()) >= 64:
             raise ValueError("salt factor exceeds 64: key fold invalid")
-        hi = (int(shard.max()) + 1) * fcount if n else 1
+        hi = (int(shard.max()) + 1) * fcount
         if hi >= (1 << 25):
             raise ValueError(f"shard*field cardinality {hi} overflows key")
         key = (((shard * fcount + fcode) << 6 | salt) << 32) | tcode
@@ -372,29 +347,172 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int):
                 blobs.append(blob)
                 skips_l.append(skips)
                 bmax_l.append(bmax)
-        g_shard = shard[gpos]
-        g_salt = salt[gpos]
-        g_term = pc.take(term, pa.array(gpos))
-        g_field = np.array(fnames, dtype=object)[g_field_code]
+        return {
+            "shard": shard[gpos],
+            "fnames": fnames,
+            "fcode": g_field_code,
+            "term": pc.take(term, pa.array(gpos)),
+            "salt": salt[gpos],
+            "sizes": sizes,
+            "blobs": blobs,
+            "skips": skips_l,
+            "bmax": bmax_l,
+        }
+
+    def merge_chunks(chunks):
+        """Group-wise merge of per-chunk partials (multi-chunk partitions
+        only). Split groups: decode → stable doc_id sort (chunk order
+        preserved for equal ids, matching the whole-partition lexsort) →
+        re-encode. Unsplit groups pass through byte-identical."""
+        from .codec import decode_many, decode_postings
+
+        fnames = sorted({f for c in chunks for f in c["fnames"]})
+        fmap = {f: i for i, f in enumerate(fnames)}
+        fcode = np.concatenate(
+            [
+                np.array([fmap[f] for f in c["fnames"]], dtype=np.int64)[
+                    c["fcode"]
+                ]
+                for c in chunks
+            ]
+        )
+        shard = np.concatenate([c["shard"] for c in chunks])
+        salt = np.concatenate([c["salt"] for c in chunks])
+        sizes = np.concatenate([c["sizes"] for c in chunks])
+        term = pa.concat_arrays(
+            [c["term"].combine_chunks() if isinstance(c["term"], pa.ChunkedArray)
+             else c["term"] for c in chunks]
+        )
+        blobs = [b for c in chunks for b in c["blobs"]]
+        skips_l = [s for c in chunks for s in c["skips"]]
+        bmax_l = [m for c in chunks for m in c["bmax"]]
+
+        tdict = term.dictionary_encode()
+        tcode = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        fcount = len(fnames)
+        hi = (int(shard.max()) + 1) * fcount
+        if hi >= (1 << 25):
+            raise ValueError(f"shard*field cardinality {hi} overflows key")
+        key = (((shard * fcount + fcode) << 6 | salt) << 32) | tcode
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        m = skey.size
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        change[1:] = skey[1:] != skey[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], m)
+        runs = ends - starts
+        pos0 = order[starts]
+
+        df_out = np.add.reduceat(sizes[order], starts)
+        avgdl_lut = np.array(
+            [avgdl_by_field.get(fn, 1.0) for fn in fnames], dtype=np.float64
+        )
+        g_fcode = fcode[pos0]
+
+        multi = runs > 1
+        out_blobs = [blobs[i] for i in pos0]
+        out_skips = [skips_l[i] for i in pos0]
+        out_bmax = [bmax_l[i] for i in pos0]
+        midx = np.flatnonzero(multi)
+        if midx.size:
+            # partial indices of split groups, in (group, chunk) order
+            part_idx = order[np.flatnonzero(np.repeat(multi, runs))]
+            n_parts_per = runs[midx]
+            if codec == CODEC_VARINT:
+                from .codec import encode_many as _enc_many
+
+                ids, tfs, dls, dfs = decode_many(
+                    [blobs[i] for i in part_idx],
+                    [skips_l[i] for i in part_idx],
+                )
+                run_of_partial = np.repeat(
+                    np.arange(midx.size, dtype=np.int64), n_parts_per
+                )
+                run_of_post = np.repeat(run_of_partial, dfs)
+                o2 = np.lexsort((ids, run_of_post))
+                ids, tfs, dls = ids[o2], tfs[o2], dls[o2]
+                g_df = np.bincount(run_of_post, minlength=midx.size)
+                g_ends = np.cumsum(g_df)
+                g_starts = g_ends - g_df
+                avgdl_per_post = np.repeat(avgdl_lut[g_fcode[midx]], g_df)
+                mb, ms, mm = _enc_many(
+                    ids, tfs, dls, g_starts, g_ends, avgdl_per_post
+                )
+                for k, g in enumerate(midx):
+                    out_blobs[g] = mb[k]
+                    out_skips[g] = ms[k]
+                    out_bmax[g] = mm[k]
+            else:
+                off = 0
+                bounds = np.concatenate(([0], np.cumsum(n_parts_per)))
+                for k, g in enumerate(midx):
+                    parts = part_idx[bounds[k]:bounds[k + 1]]
+                    seg = [decode_postings(bytes(blobs[i]), bytes(skips_l[i]))
+                           for i in parts]
+                    ids = np.concatenate([s[0] for s in seg])
+                    tfs = np.concatenate([s[1] for s in seg])
+                    dls = np.concatenate([s[2] for s in seg])
+                    o2 = np.argsort(ids, kind="stable")
+                    blob, skips, bmax = encode_postings(
+                        ids[o2], tfs[o2], dls[o2],
+                        avgdl=float(avgdl_lut[g_fcode[g]]), codec=codec,
+                    )
+                    out_blobs[g] = blob
+                    out_skips[g] = skips
+                    out_bmax[g] = bmax
+
+        return {
+            "shard": shard[pos0],
+            "fnames": fnames,
+            "fcode": g_fcode,
+            "term": pc.take(term, pa.array(pos0)),
+            "salt": salt[pos0],
+            "sizes": df_out,
+            "blobs": out_blobs,
+            "skips": out_skips,
+            "bmax": out_bmax,
+        }
+
+    def emit(c):
+        g_field = np.array(c["fnames"], dtype=object)[c["fcode"]]
+        g_term = c["term"]
         # one row per group now — sort the GROUPS by (shard, field, term)
         # for the writer's row-group pruning; this sorts thousands of
         # strings, not the 30M input rows
         oo = np.lexsort(
-            (np.asarray(g_term, dtype=object), g_field, g_shard)
+            (np.asarray(g_term, dtype=object), g_field, c["shard"])
         )
-        yield pa.record_batch(
+        return pa.record_batch(
             [
-                pa.array(g_shard[oo].astype(np.int32)),
+                pa.array(c["shard"][oo].astype(np.int32)),
                 pa.array(g_field[oo], type=pa.string()),
                 pc.take(g_term, pa.array(oo)),
-                pa.array(g_salt[oo].astype(np.int32)),
-                pa.array(sizes[oo].astype(np.int64)),
-                pa.array([blobs[i] for i in oo], type=pa.binary()),
-                pa.array([skips_l[i] for i in oo], type=pa.binary()),
-                pa.array([bmax_l[i] for i in oo], type=pa.binary()),
+                pa.array(c["salt"][oo].astype(np.int32)),
+                pa.array(c["sizes"][oo].astype(np.int64)),
+                pa.array([c["blobs"][i] for i in oo], type=pa.binary()),
+                pa.array([c["skips"][i] for i in oo], type=pa.binary()),
+                pa.array([c["bmax"][i] for i in oo], type=pa.binary()),
             ],
             schema=out_schema,
         )
+
+    def run(iterator):
+        pending, pending_rows, packed = [], 0, []
+        for b in iterator:
+            if b.num_rows == 0:
+                continue
+            pending.append(b)
+            pending_rows += b.num_rows
+            if pending_rows >= chunk_rows:
+                packed.append(pack_table(pa.Table.from_batches(pending)))
+                pending, pending_rows = [], 0
+        if pending_rows:
+            packed.append(pack_table(pa.Table.from_batches(pending)))
+        if not packed:
+            return
+        yield emit(packed[0] if len(packed) == 1 else merge_chunks(packed))
 
     return run
 

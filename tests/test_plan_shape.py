@@ -224,3 +224,63 @@ def test_arrow_packer_matches_legacy_packer_kernel():
             for k, (df_, p, s, b) in got.items()
         }
         assert got == want, f"codec {codec} mismatch"
+
+
+def test_arrow_packer_chunked_matches_whole_partition():
+    """A partition spanning several pack chunks must emit byte-identical
+    groups to the single-chunk pack (and hence to _pack_runs): split
+    groups are decoded, stable-sorted, re-encoded; unsplit groups pass
+    through untouched. Both codecs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_spark.index.build import _pack_partition_arrow, _pack_runs
+    from baram_spark.index.codec import CODEC_FOR, CODEC_VARINT
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    group = rng.integers(0, 700, n)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": rng.choice(10**9, size=n, replace=False).astype(
+                "int64"
+            ),
+            "field": np.where(group % 3 == 0, "title", "content"),
+            "term": np.char.add("t", (group // 3).astype(str)),
+            "tf": rng.integers(1, 9, n).astype("int32"),
+            "dl": rng.integers(5, 400, n).astype("int32"),
+            "shard": (group % 4).astype("int32"),
+            "salt": (group % 5).astype("int32"),
+        }
+    )
+    avgdl = {"title": 5.0, "content": 130.0}
+    batches = [
+        pa.RecordBatch.from_pandas(chunk, preserve_index=False)
+        for chunk in np.array_split(pdf, 13)
+    ]
+    sorted_pdf = pdf.sort_values(
+        ["shard", "field", "term", "salt", "doc_id"], kind="stable"
+    ).reset_index(drop=True)
+    for codec in (CODEC_VARINT, CODEC_FOR):
+        # chunk_rows forces ~6 chunks of ~2-3 batches each
+        run = _pack_partition_arrow(avgdl, codec, chunk_rows=5_000)
+        got = {}
+        for out in run(iter(batches)):
+            t = out.to_pydict()
+            for i in range(out.num_rows):
+                k = (t["shard"][i], t["field"][i], t["term"][i],
+                     t["salt"][i])
+                assert k not in got, f"duplicate group {k}"
+                got[k] = (t["df"][i], bytes(t["postings"][i]),
+                          bytes(t["skips"][i]), bytes(t["blockmax"][i]))
+        ref = _pack_runs(sorted_pdf, avgdl, codec)
+        want = {
+            (int(r.shard), r.field, r.term, int(r.salt)): (
+                int(r.df), bytes(r.postings), bytes(r.skips),
+                bytes(r.blockmax),
+            )
+            for r in ref.itertuples()
+        }
+        got = {k: (int(d), p, s, b) for k, (d, p, s, b) in got.items()}
+        assert got == want, f"codec {codec} mismatch"

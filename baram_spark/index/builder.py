@@ -253,9 +253,9 @@ class IndexBuilder:
 
         One distributed aggregate — blobs never leave the executors, only
         the per-codec sums do. The codec id is each blob's first byte
-        (codec.py CODEC_VARINT=0 / CODEC_FOR=1). Persisted as
-        ``codec_stats.json`` beside gen_meta so future codec work
-        (PFor-with-exceptions etc.) has a recorded baseline."""
+        (codec.py CODEC_VARINT=0 / CODEC_FOR=1 / CODEC_PFOR=2). Persisted as
+        ``codec_stats.json`` beside gen_meta so codec work has a
+        recorded baseline (PFor-with-exceptions landed as CODEC_PFOR)."""
         import json as _json
 
         if not self._exists(self.postings_path):
@@ -274,7 +274,7 @@ class IndexBuilder:
             )
             .collect()
         )
-        names = {"00": "varint", "01": "for"}
+        names = {"00": "varint", "01": "for", "02": "pfor"}
         out = {}
         for r in rows:
             name = names.get(r["cb"].lower(), f"codec_0x{r['cb']}")

@@ -3,9 +3,10 @@ per-block max-score metadata.
 
 The reference delegates the physical index to Lucene via OpenSearch; this is
 the from-scratch PySpark-native replacement specified by the north_star:
-per-term posting lists compressed as docID deltas (LEB128 varint, or
-frame-of-reference bit packing — a PForDelta-style codec without exceptions,
-since deltas within a 128-block are near-uniform after sorting), skip
+per-term posting lists compressed as docID deltas (LEB128 varint;
+frame-of-reference bit packing — exception-free, cheap when deltas within a
+128-block are near-uniform; or PForDelta proper, CODEC_PFOR, whose patched
+exceptions keep one huge gap from inflating the whole block's width), skip
 pointers every ``BLOCK`` postings, and a per-block score upper bound
 (max of ``tf / (tf + k1*(1-b+b*dl/avgdl))``) enabling Block-Max WAND.
 
@@ -39,6 +40,7 @@ import numpy as np
 BLOCK = 128
 CODEC_VARINT = 0
 CODEC_FOR = 1
+CODEC_PFOR = 2
 
 
 # --- vectorized LEB128 varint ----------------------------------------------
@@ -132,6 +134,94 @@ def for_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     return values, 5 + nbytes
 
 
+# --- patched frame-of-reference (PForDelta WITH exceptions) -----------------
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """[width:u8][n:u32][n_exc:u16][packed low bits][exc pos:u8..][exc high:varints]
+
+    Classic PForDelta: the base width ``w`` covers the common case and
+    outliers are PATCHED — their low ``w`` bits ride the packed section,
+    positions and the shifted-out high bits ride an exception list. The
+    width is chosen by exact cost (packed bytes + per-exception position
+    byte + LEB128 bytes of each high part, minimized over all candidate
+    widths in one vectorized pass), so a single huge delta no longer
+    inflates every value's width the way exception-free FOR does — the
+    docID-gap distribution of a Zipf posting list is exactly that shape
+    (many small gaps, a few enormous ones). Positions are u8, so callers
+    keep sections at <= 256 values (posting blocks are BLOCK=128).
+    """
+    v = values.astype(np.uint64)
+    n = v.size
+    if n == 0:
+        return bytes([1]) + np.uint32(0).tobytes() + np.uint16(0).tobytes()
+    if n > 256:
+        raise ValueError("pfor section exceeds 256 values (u8 positions)")
+    # bit length per value (>=1 so zeros pack into width-1 sections)
+    bl = np.ones(n, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        big = tmp > np.uint64(1)
+        if not big.any():
+            break
+        bl[big] += 1
+        tmp[big] >>= np.uint64(1)
+    max_w = int(bl.max())
+    # exact cost per candidate width (<=64 candidates, vectorized inner):
+    # packed section + one position byte + the LEB128 bytes of each
+    # exception's high part
+    costs = np.empty(max_w, dtype=np.int64)
+    for cand in range(1, max_w + 1):
+        hb = bl[bl > cand] - cand
+        costs[cand - 1] = (n * cand + 7) // 8 + hb.size + int(
+            ((hb + 6) // 7).sum()
+        )
+    w = 1 + int(np.argmin(costs))
+    exc_mask = bl > w
+    n_e = int(exc_mask.sum())
+    low = v & ((np.uint64(1) << np.uint64(w)) - np.uint64(1)) if w < 64 else v
+    shifts = np.arange(w, dtype=np.uint64)
+    bits = ((low[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    header = bytes([w]) + np.uint32(n).tobytes() + np.uint16(n_e).tobytes()
+    if not n_e:
+        return header + packed
+    pos = np.flatnonzero(exc_mask).astype(np.uint8).tobytes()
+    high = (v[exc_mask] >> np.uint64(w)) if w < 64 else np.zeros(n_e, np.uint64)
+    high_buf, _ = varint_encode(high)
+    return header + packed + pos + high_buf
+
+
+def pfor_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Inverse of pfor_encode; returns (values, bytes consumed)."""
+    w = buf[offset]
+    n = int(np.frombuffer(buf, dtype=np.uint32, count=1, offset=offset + 1)[0])
+    n_e = int(np.frombuffer(buf, dtype=np.uint16, count=1, offset=offset + 5)[0])
+    pos = offset + 7
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), 7
+    nbytes = (n * w + 7) // 8
+    packed = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=pos)
+    bits = np.unpackbits(packed, bitorder="little")[: n * w].reshape(n, w)
+    shifts = np.arange(w, dtype=np.uint64)
+    values = (bits.astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    pos += nbytes
+    if n_e:
+        epos = np.frombuffer(buf, dtype=np.uint8, count=n_e, offset=pos)
+        pos += n_e
+        # high parts: n_e terminated LEB128 varints — find the span by
+        # counting terminator bytes (each value <= 64 bits -> <= 10 bytes)
+        raw = np.frombuffer(buf, dtype=np.uint8,
+                            count=min(len(buf) - pos, n_e * 10), offset=pos)
+        term = np.flatnonzero((raw & 0x80) == 0)
+        span = int(term[n_e - 1]) + 1
+        high = varint_decode(raw[:span], count=n_e)
+        values[epos] |= high << np.uint64(w)
+        pos += span
+    return values, pos - offset
+
+
 # --- posting list encode/decode --------------------------------------------
 
 def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl,
@@ -208,13 +298,14 @@ def encode_postings(
             blockmax[bidx] = float(np.max(tf_norms[lo:hi]))
             parts.append(block)
             pos += len(block)
-    elif codec == CODEC_FOR:
+    elif codec in (CODEC_FOR, CODEC_PFOR):
+        enc = for_encode if codec == CODEC_FOR else pfor_encode
         for bidx in range(n_blocks):
             lo, hi = bidx * BLOCK, min((bidx + 1) * BLOCK, n)
             cnt_bytes, _ = varint_encode(np.array([hi - lo], dtype=np.uint64))
-            block = (cnt_bytes + for_encode(deltas[lo:hi])
-                     + for_encode(tfs[lo:hi].astype(np.uint64))
-                     + for_encode(dls[lo:hi].astype(np.uint64)))
+            block = (cnt_bytes + enc(deltas[lo:hi])
+                     + enc(tfs[lo:hi].astype(np.uint64))
+                     + enc(dls[lo:hi].astype(np.uint64)))
             offsets[bidx] = pos
             last_ids[bidx] = doc_ids[hi - 1]
             counts[bidx] = hi - lo
@@ -276,12 +367,13 @@ def decode_block(
         vals = varint_decode(section)
         deltas, tfs, dls = vals[:count], vals[count : 2 * count], vals[2 * count : 3 * count]
         pos = span_end
-    elif codec == CODEC_FOR:
-        deltas, used = for_decode(postings_blob, pos)
+    elif codec in (CODEC_FOR, CODEC_PFOR):
+        dec = for_decode if codec == CODEC_FOR else pfor_decode
+        deltas, used = dec(postings_blob, pos)
         pos += used
-        tfs, used = for_decode(postings_blob, pos)
+        tfs, used = dec(postings_blob, pos)
         pos += used
-        dls, used = for_decode(postings_blob, pos)
+        dls, used = dec(postings_blob, pos)
         pos += used
     else:
         raise ValueError(f"unknown codec {codec}")

@@ -9,6 +9,7 @@ from hypothesis import strategies as st
 from baram_spark.index.codec import (
     BLOCK,
     CODEC_FOR,
+    CODEC_PFOR,
     CODEC_VARINT,
     bm25_tf_norm,
     decode_block,
@@ -18,6 +19,8 @@ from baram_spark.index.codec import (
     encode_postings,
     for_decode,
     for_encode,
+    pfor_decode,
+    pfor_encode,
     varint_decode,
     varint_encode,
 )
@@ -45,7 +48,30 @@ def test_for_roundtrip(values):
     assert np.array_equal(out, arr)
 
 
-@pytest.mark.parametrize("codec", [CODEC_VARINT, CODEC_FOR])
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=256))
+@settings(max_examples=80, deadline=None)
+def test_pfor_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    buf = pfor_encode(arr)
+    out, used = pfor_decode(b"zz" + buf, 2)  # offset + trailing-safety
+    assert used == len(buf)
+    assert np.array_equal(out, arr)
+
+
+def test_pfor_patches_outliers_cheaper_than_for():
+    """The PForDelta exception path: a few enormous gaps must not inflate
+    the whole section's width (the Zipf posting-gap shape)."""
+    rng = np.random.default_rng(5)
+    gaps = np.concatenate(
+        [rng.integers(1, 40, 120), rng.integers(2**30, 2**40, 8)]
+    ).astype(np.uint64)
+    assert len(pfor_encode(gaps)) < len(for_encode(gaps)) / 3
+    # uniform small sections carry only the 7-byte header overhead vs FOR
+    uni = rng.integers(0, 31, 128).astype(np.uint64)
+    assert len(pfor_encode(uni)) <= len(for_encode(uni)) + 2
+
+
+@pytest.mark.parametrize("codec", [CODEC_VARINT, CODEC_FOR, CODEC_PFOR])
 @pytest.mark.parametrize("n", [1, 2, BLOCK - 1, BLOCK, BLOCK + 1, 1000])
 def test_postings_roundtrip(codec, n):
     rng = np.random.default_rng(n)

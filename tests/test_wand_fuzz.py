@@ -1,7 +1,7 @@
 """Property fuzz: Block-Max WAND ≡ exhaustive scoring ≡ brute force, always.
 
 Randomized posting sets (multiple terms, multi-block lists, duplicate
-score ties, bound_factor drift, BOTH posting codecs) × random
+score ties, bound_factor drift, ALL THREE posting codecs) × random
 allowed/denied filters × random k / min_score — the pruned scorer must
 return rank- AND score-identical results to the exhaustive scorer AND to
 an independent brute-force oracle (raw arrays, no codec, no wand.py
@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 
 from baram_spark.index.codec import (
     CODEC_FOR,
+    CODEC_PFOR,
     CODEC_VARINT,
     bm25_tf_norm,
     encode_postings,
@@ -75,7 +76,7 @@ def test_blockmax_equals_exhaustive_equals_bruteforce_fuzz(seed):
         # avgdl drift: bounds scaled up, scoring avgdl unchanged — the
         # incremental-generation correction path
         bf = float(rng.choice([1.0, 1.0, rng.uniform(1.0, 1.5)]))
-        codec = int(rng.choice([CODEC_VARINT, CODEC_FOR]))
+        codec = int(rng.choice([CODEC_VARINT, CODEC_FOR, CODEC_PFOR]))
         tp, raw = _make_term(rng, "content", f"t{t}", n_docs,
                              universe, weight, bf, codec)
         terms.append(tp)

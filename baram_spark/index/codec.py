@@ -105,6 +105,39 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarr
 
 # --- frame-of-reference bit packing (PForDelta-style, exception-free) ------
 
+# thresholds for vectorized bit_length: bl(v) = searchsorted(right)
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+# exception-cost matrix for pfor width choice: LEB128 bytes of the high
+# part of a bl-bit value patched at width w (0 where bl <= w)
+_PFOR_EXC = np.maximum(
+    (np.arange(65)[None, :] - np.arange(65)[:, None] + 6) // 7, 0
+)
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Per-value bit length of a uint64 array (min 1), no Python loop."""
+    return np.maximum(np.searchsorted(_POW2, v, side="right"), 1)
+
+
+def _pack_bits(v: np.ndarray, width: int) -> bytes:
+    """Expand each value into `width` bits (LSB first), then packbits —
+    THE one copy of the packed-section layout (FOR and PFOR share it)."""
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf, n: int, width: int, offset: int) -> np.ndarray:
+    """Inverse of _pack_bits over ``buf[offset:]``."""
+    nbytes = (n * width + 7) // 8
+    packed = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=offset)
+    bits = np.unpackbits(packed, bitorder="little")[: n * width]
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits.reshape(n, width).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
 def for_encode(values: np.ndarray) -> bytes:
     """[width:u8][n:u32][packed bits] — fixed-width pack of a uint64 array."""
     v = values.astype(np.uint64)
@@ -113,11 +146,7 @@ def for_encode(values: np.ndarray) -> bytes:
     header = bytes([width]) + np.uint32(n).tobytes()
     if n == 0:
         return header
-    # expand each value into `width` bits (LSB first), then packbits
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    packed = np.packbits(bits.reshape(-1), bitorder="little")
-    return header + packed.tobytes()
+    return header + _pack_bits(v, width)
 
 
 def for_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -127,11 +156,7 @@ def for_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     nbytes = (n * width + 7) // 8
     if n == 0:
         return np.zeros(0, dtype=np.uint64), 5
-    packed = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=offset + 5)
-    bits = np.unpackbits(packed, bitorder="little")[: n * width].reshape(n, width)
-    shifts = np.arange(width, dtype=np.uint64)
-    values = (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-    return values, 5 + nbytes
+    return _unpack_bits(buf, n, width, offset + 5), 5 + nbytes
 
 
 # --- patched frame-of-reference (PForDelta WITH exceptions) -----------------
@@ -144,7 +169,7 @@ def pfor_encode(values: np.ndarray) -> bytes:
     positions and the shifted-out high bits ride an exception list. The
     width is chosen by exact cost (packed bytes + per-exception position
     byte + LEB128 bytes of each high part, minimized over all candidate
-    widths in one vectorized pass), so a single huge delta no longer
+    widths via the bit-length histogram), so a single huge delta no longer
     inflates every value's width the way exception-free FOR does — the
     docID-gap distribution of a Zipf posting list is exactly that shape
     (many small gaps, a few enormous ones). Positions are u8, so callers
@@ -156,32 +181,23 @@ def pfor_encode(values: np.ndarray) -> bytes:
         return bytes([1]) + np.uint32(0).tobytes() + np.uint16(0).tobytes()
     if n > 256:
         raise ValueError("pfor section exceeds 256 values (u8 positions)")
-    # bit length per value (>=1 so zeros pack into width-1 sections)
-    bl = np.ones(n, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        big = tmp > np.uint64(1)
-        if not big.any():
-            break
-        bl[big] += 1
-        tmp[big] >>= np.uint64(1)
+    # bit length per value (>=1 so zeros pack into width-1 sections);
+    # exact cost per candidate width from the bit-length HISTOGRAM —
+    # O(n + 64^2), constant numpy-dispatch count (this runs ~3x per
+    # 128-block on the index-build hot path)
+    bl = _bit_lengths(v)
     max_w = int(bl.max())
-    # exact cost per candidate width (<=64 candidates, vectorized inner):
-    # packed section + one position byte + the LEB128 bytes of each
-    # exception's high part
-    costs = np.empty(max_w, dtype=np.int64)
-    for cand in range(1, max_w + 1):
-        hb = bl[bl > cand] - cand
-        costs[cand - 1] = (n * cand + 7) // 8 + hb.size + int(
-            ((hb + 6) // 7).sum()
-        )
+    cnt = np.bincount(bl, minlength=65).astype(np.int64)
+    widths = np.arange(1, max_w + 1)
+    n_exc_per_w = (cnt[None, 1:] * (np.arange(1, 65)[None, :]
+                                    > widths[:, None])).sum(axis=1)
+    exc_leb = (cnt[None, 1:65] * _PFOR_EXC[1:max_w + 1, 1:65]).sum(axis=1)
+    costs = (n * widths + 7) // 8 + n_exc_per_w + exc_leb
     w = 1 + int(np.argmin(costs))
     exc_mask = bl > w
     n_e = int(exc_mask.sum())
     low = v & ((np.uint64(1) << np.uint64(w)) - np.uint64(1)) if w < 64 else v
-    shifts = np.arange(w, dtype=np.uint64)
-    bits = ((low[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    packed = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    packed = _pack_bits(low, w)
     header = bytes([w]) + np.uint32(n).tobytes() + np.uint16(n_e).tobytes()
     if not n_e:
         return header + packed
@@ -199,14 +215,8 @@ def pfor_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     pos = offset + 7
     if n == 0:
         return np.zeros(0, dtype=np.uint64), 7
-    nbytes = (n * w + 7) // 8
-    packed = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=pos)
-    bits = np.unpackbits(packed, bitorder="little")[: n * w].reshape(n, w)
-    shifts = np.arange(w, dtype=np.uint64)
-    values = (bits.astype(np.uint64) << shifts[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    pos += nbytes
+    values = _unpack_bits(buf, n, w, pos)
+    pos += (n * w + 7) // 8
     if n_e:
         epos = np.frombuffer(buf, dtype=np.uint8, count=n_e, offset=pos)
         pos += n_e

@@ -11,17 +11,20 @@ from baram_spark.query.bm25 import BruteForceIndex
 from baram_spark.query.engine import SearchEngine
 
 
-@pytest.fixture(scope="module", params=[CODEC_FOR, CODEC_PFOR],
+@pytest.fixture(scope="module",
+                params=[(CODEC_FOR, "for"), (CODEC_PFOR, "pfor")],
                 ids=["for", "pfor"])
 def for_index(request, spark, work_dir):
-    out = f"{work_dir}/idx_codec{request.param}"
+    codec, name = request.param
+    out = f"{work_dir}/idx_codec{codec}"
     builder = IndexBuilder(spark, out, n_shards=2, salt_threshold=100,
-                           codec=request.param)
+                           codec=codec)
     builder.build(pages_df(spark, 250, partitions=4), fingerprint="for-250")
-    return out
+    return out, name
 
 
 def test_for_codec_rank_identity(spark, for_index):
+    for_index, _ = for_index
     docs = (
         spark.read.parquet(f"{for_index}/docs")
         .select("doc_id", "title", "text")
@@ -46,12 +49,14 @@ def test_codec_stats_telemetry(spark, for_index):
     import json
     import os
 
+    for_index, codec_name = for_index
     builder = IndexBuilder(spark, for_index, n_shards=2,
                            salt_threshold=100, codec=CODEC_FOR)
     stats = builder.codec_stats(persist=True)
-    # whole index packed with exactly one codec (the fixture's param)
-    assert len(stats) == 1 and set(stats) <= {"for", "pfor"}
-    s = next(iter(stats.values()))
+    # whole index packed with exactly the fixture's codec — a builder
+    # that ignored codec= or a mis-stamped codec id byte fails here
+    assert set(stats) == {codec_name}
+    s = stats[codec_name]
     assert s["n_postings"] > 0 and s["n_terms"] > 0
     assert s["bytes_per_posting"] > 0
     assert s["total_bytes_per_posting"] >= s["bytes_per_posting"]

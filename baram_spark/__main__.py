@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # build-time embeddings (hybrid/vector search + the cluster subcommand
     # read the embeddings/gen=G artifact; vectorize.rs embeds at index time)
     p_index.add_argument("--embeddings", action="store_true")
+    # posting codec: varint (default, best on mixed/short lists), for
+    # (exception-free bit-pack), pfor (PForDelta with patched exceptions
+    # -- best on long skewed lists; see codec.py)
+    p_index.add_argument("--codec", default="varint",
+                         choices=["varint", "for", "pfor"])
 
     p_search = sub.add_parser("search")
     p_search.add_argument("--index", required=True)
@@ -181,10 +186,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "index":
         from baram_spark.index.builder import IndexBuilder
 
+        from baram_spark.index.codec import (
+            CODEC_FOR,
+            CODEC_PFOR,
+            CODEC_VARINT,
+        )
+
+        codec = {"varint": CODEC_VARINT, "for": CODEC_FOR,
+                 "pfor": CODEC_PFOR}[args.codec]
         builder = IndexBuilder(
             spark, args.out, n_shards=args.shards,
             salt_threshold=args.salt_threshold,
-            build_embeddings=args.embeddings,
+            build_embeddings=args.embeddings, codec=codec,
         )
         fp = args.fingerprint or f"cli-{int(time.time())}"
         if args.markdown:

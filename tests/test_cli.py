@@ -197,3 +197,31 @@ def test_cli_hybrid_respects_filters(capsys, spark, cli_index):
         .select("doc_id", "publisher").collect()
     }
     assert all(pubs[d] == pub for d in ids), [(d, pubs[d]) for d in ids]
+
+
+def test_cli_index_codec_flag(capsys, spark, tmp_path):
+    """`index --codec pfor` builds a PFOR-packed index that searches
+    identically through the CLI (codec is a physical choice only)."""
+    pages_path = f"{tmp_path}/pages"
+    pages_df(spark, 80, partitions=2).write.parquet(pages_path)
+    out = f"{tmp_path}/idx_pfor"
+    rc = main(
+        ["index", "--pages", pages_path, "--out", out, "--shards", "2",
+         "--codec", "pfor", "--fingerprint", "cli-pfor"],
+        spark=spark,
+    )
+    assert rc == 0
+    # every postings blob is stamped with the PFOR codec id
+    import pyarrow.dataset as ds
+
+    from baram_spark.index.codec import CODEC_PFOR
+
+    blobs = ds.dataset(f"{out}/postings", partitioning="hive").to_table(
+        columns=["postings"]
+    )["postings"]
+    assert len(blobs) > 0
+    assert all(bytes(b.as_py())[0] == CODEC_PFOR for b in blobs)
+    q = make_query_set()[0]["query_text"]
+    res = _run(capsys, spark, ["search", "--index", out, "--query", q,
+                               "--k", "5"])
+    assert res["hits"]

@@ -361,7 +361,7 @@ def _proc_lock(base: str) -> threading.Lock:
 
 @contextmanager
 def commit_lock(index_dir: str, ttl_s: float = 120.0,
-                settle_s: float = 0.02):
+                settle_s: float = 0.02, force_emulation: bool | None = None):
     """Serialize manifest commits on ``index_dir``.
 
     In-process committers: a per-index ``threading.Lock`` (full mutual
@@ -376,7 +376,20 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
     :class:`CommitLockError` when another fresh lock exists or the
     readback shows a competing writer won; the residual double-hold
     window is documented in the module docstring, and release deletes
-    the lock only if still owned (never a successor's lock)."""
+    the lock only if still owned (never a successor's lock).
+
+    **flock scope caveats** (why ``force_emulation`` exists): flock is
+    per-HOST on network mounts configured without lock service (NFS
+    ``nolock``, Lustre ``localflock``) — two hosts both "win" and a
+    commit is silently lost. It is also inherited across ``fork``: a
+    child forked while the lock is held keeps it until the child exits
+    (this library never forks under a commit lock; pyspark workers fork
+    from the JVM's python daemon, not the committing driver, so they do
+    not inherit it). Multi-HOST writers on such mounts must set
+    ``force_emulation=True`` (or env ``BARAM_LOCK_EMULATION=1``, or
+    register the mount under a custom scheme) to get the settle-fenced
+    emulation, and a real deployment serializes commits behind a
+    catalog — this function is the single swap point."""
     base = index_dir.rstrip("/")
     plock = _proc_lock(base)
     if not plock.acquire(blocking=False):
@@ -387,7 +400,10 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
         token = _uuid.uuid4().hex
         f, lp = resolve(lock_uri)
         makedirs(base)
-        if isinstance(f, pafs.LocalFileSystem):
+        if force_emulation is None:
+            force_emulation = os.environ.get(
+                "BARAM_LOCK_EMULATION", "") == "1"
+        if isinstance(f, pafs.LocalFileSystem) and not force_emulation:
             import fcntl
 
             fd = os.open(lp, os.O_CREAT | os.O_WRONLY)

@@ -233,6 +233,7 @@ def _verify_from_arrays(threshold: float):
 def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
                         candidates: DataFrame | None = None, *,
                         broadcast_docs_threshold: int = 200_000,
+                        broadcast_values_threshold: int = 8_000_000,
                         parallelism: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     (optionally restricted to LSH candidates). jaccard = |A∩B|/|A∪B|.
@@ -262,13 +263,25 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
     hash identically). Two physical layouts, picked by doc count like a
     join strategy:
 
-    * ≤ ``broadcast_docs_threshold`` distinct docs → the doc→set dict is
-      a Spark broadcast and only (id1, id2) pairs flow through the
-      kernel;
-    * above it → each pair carries its two packed set arrays through two
-      doc_id-keyed joins (no driver/broadcast materialization of the doc
-      axis — the 100-TB layout; same bytes the exploded join would
-      shuffle, 1-2 orders fewer rows).
+    * ≤ ``broadcast_docs_threshold`` distinct docs AND ≤
+      ``broadcast_values_threshold`` total shingle values (the gate is
+      bytes-aware — 150k docs × 2000 shingles each would be tens of GB
+      as Python sets, so doc count alone cannot gate the broadcast) →
+      the doc→set dict is a Spark broadcast and only (id1, id2) pairs
+      flow through the kernel. The broadcast lives until the session
+      drops it (a per-call destroy would race the caller's lazy
+      materialization); at the gated sizes that is ≤ ~1 GB.
+    * above either bound → each pair carries its two packed set arrays
+      through two doc_id-keyed joins (no driver/broadcast
+      materialization of the doc axis — the 100-TB layout; same bytes
+      the exploded join would shuffle, 1-2 orders fewer rows).
+
+    Candidates are NORMALIZED before verification — self-pairs dropped,
+    (a, b)/(b, a) folded to a < b, duplicates removed — so hand-built
+    candidate lists get the same output contract as the ungated
+    verifier's ``a.doc_id < b.doc_id`` self-join (distinct id1 < id2
+    rows). The in-repo LSH candidates already satisfy it; the dedup is
+    then a cheap partial aggregate over the existing partitioning.
 
     ``parallelism`` (default 2× defaultParallelism) repartitions the
     candidate stream before the kernel: AQE coalesces exchanges by BYTE
@@ -283,30 +296,34 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
             F.collect_set("h").alias("shset"))
         if parallelism is None:
             parallelism = 2 * spark.sparkContext.defaultParallelism
-        pairs = candidates.select("id1", "id2").repartition(parallelism)
-        # The shingle relation feeds THREE computations: the doc count,
-        # the set collection, and (through the caller's composition) the
-        # LSH candidate pipeline. Persist it so they share one scan. In
-        # the broadcast path the relation is ≤ threshold docs by
-        # definition, so the cache is bounded and stays (candidate
-        # evaluation reuses it); the array path unpersists right after
-        # the count.
-        from pyspark import StorageLevel
-
-        we_persisted = shingle_df.storageLevel == StorageLevel.NONE
-        if we_persisted:
-            shingle_df.persist()
-        # column-pruned distinct count — one cheap job at plan-build time
-        n_docs = shingle_df.select("doc_id").distinct().count()
-        if n_docs <= broadcast_docs_threshold:
+        # normalize to the ungated verifier's output contract: distinct
+        # id1 < id2 (drops self-pairs, folds reversed pairs, dedups) —
+        # dropDuplicates runs map-side over the repartition it follows
+        pairs = (
+            candidates.select(
+                F.least("id1", "id2").alias("id1"),
+                F.greatest("id1", "id2").alias("id2"))
+            .filter(F.col("id1") < F.col("id2"))
+            .repartition(parallelism, "id1", "id2")
+            .dropDuplicates(["id1", "id2"])
+        )
+        # one agg decides the layout: doc count AND total set values
+        # (the broadcast must be bounded in BYTES, not just doc count —
+        # no persist: the relation is scanned once here and once by the
+        # chosen layout, and a cache pinned past return would leak
+        # across calls)
+        stat = shingle_df.agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.count(F.lit(1)).alias("nv")).first()
+        n_docs, n_vals = int(stat["nd"]), int(stat["nv"])
+        if (n_docs <= broadcast_docs_threshold
+                and n_vals <= broadcast_values_threshold):
             sets = {r["doc_id"]: frozenset(r["shset"])
                     for r in doc_sets.collect()}
             bc = spark.sparkContext.broadcast(sets)
             out = pairs.mapInArrow(
                 _verify_from_broadcast(bc, threshold), _JACCARD_SCHEMA)
         else:
-            if we_persisted:
-                shingle_df.unpersist()
             joined = (
                 pairs
                 .join(doc_sets.select(F.col("doc_id").alias("id1"),

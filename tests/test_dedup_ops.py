@@ -199,3 +199,48 @@ def test_shingles_ignore_whitespace_runs(spark):
     s1 = {s for d, s in sh if d == 1}
     s2 = {s for d, s in sh if d == 2}
     assert s1 == s2 and s1 == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_candidates_are_normalized(spark):
+    """Hand-built candidate lists: self-pairs are dropped, reversed pairs
+    fold to id1 < id2, duplicates emit one row — the same contract as the
+    ungated verifier's a.doc_id < b.doc_id self-join."""
+    from baram_spark.operators.dedup import ngram_jaccard_pairs
+
+    sh = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "d"),
+         (3, "x")],
+        "doc_id long, shingle string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 2), (3, 3), (1, 3)],
+        "id1 long, id2 long",
+    )
+    rows = {(r["id1"], r["id2"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(sh, threshold=0.1,
+                                         candidates=cand).collect()}
+    # (1,2)+(2,1)+dup -> ONE row; self-pairs gone; (1,3) shares nothing
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == 0.5  # |{a,b}| / |{a,b,c,d}|
+
+
+def test_ngram_jaccard_value_gate_picks_array_layout(spark):
+    """The broadcast gate is bytes-aware: a tiny values threshold forces
+    the per-pair array layout, which must return identical rows."""
+    from baram_spark.operators.dedup import ngram_jaccard_pairs
+
+    sh = spark.createDataFrame(
+        [(d, f"s{i}") for d in range(6) for i in range(d, d + 8)],
+        "doc_id long, shingle string",
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "id1 long, id2 long",
+    )
+    kw = dict(threshold=0.2, candidates=cand, parallelism=4)
+    via_bc = {(r["id1"], r["id2"]): (r["n_common"], r["jaccard"])
+              for r in ngram_jaccard_pairs(sh, **kw).collect()}
+    via_arr = {(r["id1"], r["id2"]): (r["n_common"], r["jaccard"])
+               for r in ngram_jaccard_pairs(
+                   sh, **kw, broadcast_values_threshold=3).collect()}
+    assert via_bc == via_arr and via_bc  # non-empty, layout-agnostic

@@ -376,3 +376,29 @@ def test_contended_commit_stream_loses_no_update(spark, nonatomic):
     assert not errs
     m = fs.read_manifest(out)
     assert m["snapshot_id"] == 2 * per_writer
+
+
+def test_commit_lock_force_emulation_on_local_path(tmp_path):
+    """Shared mounts where flock is per-host (NFS nolock, Lustre
+    localflock) opt into the settle-fenced emulation; it must work on a
+    plain local path: exclusion against a fresh foreign lock, ttl break
+    of a stale one, and release/reacquire."""
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    with fs.commit_lock(base, force_emulation=True, settle_s=0.0):
+        pass  # acquire/release round-trip
+    # fresh foreign lock -> rejected
+    with open(f"{base}/_commit.lock", "w") as f:
+        f.write(json.dumps({"owner": "other", "ts": time.time()}))
+    with pytest.raises(fs.CommitLockError):
+        with fs.commit_lock(base, ttl_s=60.0, force_emulation=True,
+                            settle_s=0.0):
+            pass
+    # stale foreign lock -> broken after ttl
+    with open(f"{base}/_commit.lock", "w") as f:
+        f.write(json.dumps({"owner": "other", "ts": time.time() - 3600}))
+    with fs.commit_lock(base, ttl_s=60.0, force_emulation=True,
+                        settle_s=0.0):
+        pass
+    # release removed our lock record
+    assert not os.path.exists(f"{base}/_commit.lock")

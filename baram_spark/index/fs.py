@@ -413,12 +413,33 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
                 except OSError as e:
                     raise CommitLockError(
                         f"commit lock held on {base}") from e
+                # a MIXED-MODE committer (force_emulation / env set on
+                # another process writing to this same dir) never takes
+                # the flock — its live hold is only visible as a fresh
+                # mode="emu" record, so honor it. Records left by flock
+                # holders are truncated at release below; a fresh
+                # mode="flock" record therefore means a CRASHED holder,
+                # whose kernel lock we now hold — proceed.
+                prior = _read_lock(lock_uri)
+                if (prior is not None and prior.get("mode") == "emu"
+                        and (time.time() - float(prior.get("ts", 0)))
+                        < ttl_s):
+                    raise CommitLockError(
+                        f"commit lock held on {base} by emulation "
+                        f"committer {prior.get('owner')}")
                 # owner/ts are telemetry for humans; the kernel flock is
                 # the actual mutex
                 os.ftruncate(fd, 0)
                 os.write(fd, json.dumps(
-                    {"owner": token, "ts": time.time()}).encode())
-                yield token
+                    {"owner": token, "ts": time.time(),
+                     "mode": "flock"}).encode())
+                try:
+                    yield token
+                finally:
+                    # empty the record while the flock is still held so a
+                    # later emulation-mode acquire does not see a stale
+                    # "fresh" owner and spuriously wait out ttl_s
+                    os.ftruncate(fd, 0)
             finally:
                 os.close(fd)  # releases the flock; file stays in place
             return
@@ -429,7 +450,8 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
                 (now - float(existing.get("ts", 0))) < ttl_s:
             raise CommitLockError(
                 f"commit lock held on {base} by {existing.get('owner')}")
-        write_text(lock_uri, json.dumps({"owner": token, "ts": now}))
+        write_text(lock_uri, json.dumps(
+            {"owner": token, "ts": now, "mode": "emu"}))
         if settle_s > 0:
             time.sleep(settle_s)
         cur = _read_lock(lock_uri)

@@ -280,8 +280,11 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
     (a, b)/(b, a) folded to a < b, duplicates removed — so hand-built
     candidate lists get the same output contract as the ungated
     verifier's ``a.doc_id < b.doc_id`` self-join (distinct id1 < id2
-    rows). The in-repo LSH candidates already satisfy it; the dedup is
-    then a cheap partial aggregate over the existing partitioning.
+    rows). Cost accounting: the keyed ``repartition`` here REPLACES the
+    round-robin repartition the kernel needed anyway (the AQE
+    anti-coalescing below), so normalization adds only the least/
+    greatest projection and a map-side-combined dedup aggregate over
+    that same exchange — it does not reuse any upstream partitioning.
 
     ``parallelism`` (default 2× defaultParallelism) repartitions the
     candidate stream before the kernel: AQE coalesces exchanges by BYTE
@@ -308,10 +311,15 @@ def ngram_jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.8,
             .dropDuplicates(["id1", "id2"])
         )
         # one agg decides the layout: doc count AND total set values
-        # (the broadcast must be bounded in BYTES, not just doc count —
-        # no persist: the relation is scanned once here and once by the
-        # chosen layout, and a cache pinned past return would leak
-        # across calls)
+        # (the broadcast must be bounded in BYTES, not just doc count).
+        # Deliberately NOT persisted: the broadcast path re-runs the
+        # lineage for the collect, but a measured A/B at sf0.1 put the
+        # persist variant ~12% SLOWER (cache write + storage pressure
+        # cost more than the saved tokenize scan) — and a cache pinned
+        # past return would leak across calls. A caller whose shingle
+        # lineage is genuinely expensive should persist it BEFORE calling
+        # (it owns the release point); a caller-persisted relation is
+        # used as-is.
         stat = shingle_df.agg(
             F.countDistinct("doc_id").alias("nd"),
             F.count(F.lit(1)).alias("nv")).first()

@@ -402,3 +402,31 @@ def test_commit_lock_force_emulation_on_local_path(tmp_path):
         pass
     # release removed our lock record
     assert not os.path.exists(f"{base}/_commit.lock")
+
+
+def test_commit_lock_mixed_modes_exclude_each_other(tmp_path):
+    """A flock-mode committer must honor a live emulation-mode holder on
+    the same dir (the emulation holder never takes the flock), and a
+    flock release must leave no fresh-looking record behind for a later
+    emulation acquire to trip over."""
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    # live emulation holder -> flock-mode acquire refuses
+    with open(f"{base}/_commit.lock", "w") as f:
+        f.write(json.dumps({"owner": "emu1", "ts": time.time(),
+                            "mode": "emu"}))
+    with pytest.raises(fs.CommitLockError):
+        with fs.commit_lock(base, ttl_s=60.0):
+            pass
+    # stale emulation record -> flock proceeds
+    with open(f"{base}/_commit.lock", "w") as f:
+        f.write(json.dumps({"owner": "emu1", "ts": time.time() - 3600,
+                            "mode": "emu"}))
+    with fs.commit_lock(base, ttl_s=60.0):
+        pass
+    # flock release truncated the record: an emulation acquire inside
+    # ttl_s succeeds instead of spuriously raising
+    assert os.path.getsize(f"{base}/_commit.lock") == 0
+    with fs.commit_lock(base, ttl_s=60.0, force_emulation=True,
+                        settle_s=0.0):
+        pass

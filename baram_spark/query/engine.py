@@ -50,6 +50,20 @@ class SearchEngine:
         self._preload = preload
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
+        # snapshot-consistency loop: everything below reads several tables
+        # over multiple seconds; a compact()/vacuum() committing in that
+        # window could pair OLD generations with an already-cleared
+        # tombstone set (deletes is the one unversioned table). Re-check
+        # the manifest after the reads and re-open if the snapshot moved.
+        for _attempt in range(3):
+            self._open()
+            m2 = self._load_manifest()
+            if (m2 or {}).get("snapshot_id") ==                     (self._manifest or {}).get("snapshot_id"):
+                break
+
+    def _open(self) -> None:
+        spark = self.spark
+        preload = self._preload
         # snapshot isolation: when the builder's _manifest.json exists, read
         # ONLY the committed generations — a crashed/in-flight build's
         # partial gen dirs are invisible (the Iceberg-manifest analog) —
@@ -80,6 +94,16 @@ class SearchEngine:
                 self._bound_factor[(int(r["gen"]), r["field"])] = max(
                     1.0, avgdl_now / pack if pack else 1.0
                 )
+        # a committed gen MISSING its bound row cannot prove pack-time
+        # avgdl == current, so its blobs must never be pruned: the default
+        # becomes a large FINITE factor (inf would turn a 0.0 block-max
+        # into 0*inf = NaN, whose comparisons are all False — the block
+        # would be wrongly SKIPPED, not kept). Single-generation layouts
+        # without gen_meta packed with the same stats they score with.
+        self._bound_missing = (
+            1e12 if self._has_gens and len(self._committed or []) > 1
+            else 1.0
+        )
         self.n_shards = self._detect_n_shards()
         # tombstones (delete_by_query analog): excluded pre-ranking like
         # Lucene deleted docs; reclaimed by IndexBuilder.compact(). The set
@@ -215,9 +239,17 @@ class SearchEngine:
         if not fs.exists(deletes):
             return None
         try:
-            ids = fs.read_parquet(deletes)["doc_id"].to_numpy()
-        except Exception:
+            tbl = fs.read_parquet(deletes)
+        except FileNotFoundError:
+            # concurrent compact cleared the files between exists and
+            # read; the __init__ snapshot re-check re-opens consistently
             return None
+        # any OTHER read error must propagate: returning None here would
+        # silently RESURRECT tombstoned docs on a transient store error
+        # (same fail-closed convention as fs.listdir)
+        if "doc_id" not in tbl.column_names:
+            return None  # dir left behind with zero files (post-compact)
+        ids = tbl["doc_id"].to_numpy()
         if ids.size == 0:
             return None
         return np.unique(ids.astype(np.int64))
@@ -394,11 +426,24 @@ class SearchEngine:
         allowed_flat: np.ndarray | None = None
         allowed_df = None
         if allowed_ids is not None:
+            if (category is not None or publisher is not None
+                    or date_from is not None or date_to is not None):
+                # silently dropping the facets would return unfiltered
+                # results; the serving tier intersects facets INTO its
+                # precomputed allowed array before calling
+                raise ValueError(
+                    "allowed_ids cannot be combined with category/"
+                    "publisher/date filters — intersect them into "
+                    "allowed_ids first")
             # ndarray input (the serving tier's precomputed sorted array)
             # passes straight into np.unique — no python-list round-trip
             arr = (allowed_ids if isinstance(allowed_ids, np.ndarray)
                    else np.asarray(list(allowed_ids), dtype=np.int64))
             allowed_flat = np.unique(arr.astype(np.int64, copy=False))
+            if allowed_flat.size == 0:
+                return []  # empty candidate set: nothing can match —
+                # also avoids a zero-row createDataFrame + full postings
+                # scan in distributed mode
             if mode != "local":
                 from ..index.build import shard_expr
 
@@ -484,7 +529,8 @@ class SearchEngine:
                 by_shard.setdefault(shard, []).append(
                     TermPostings(
                         field, term, w, blob, skips, bmax, avgdls[field],
-                        self._bound_factor.get((gen, field), 1.0),
+                        self._bound_factor.get((gen, field),
+                                               self._bound_missing),
                     )
                 )
             partials = []
@@ -506,6 +552,7 @@ class SearchEngine:
         out_schema = "doc_id long, score double"
 
         bound_factor = dict(self._bound_factor)
+        bound_missing = self._bound_missing
         filtered = allowed_df is not None
 
         def _score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
@@ -519,7 +566,8 @@ class SearchEngine:
                         row.field, row.term, weights[wkey],
                         bytes(row.postings), bytes(row.skips),
                         bytes(row.blockmax), avgdls[row.field],
-                        bound_factor.get((int(row.gen), row.field), 1.0),
+                        bound_factor.get((int(row.gen), row.field),
+                                         bound_missing),
                     )
                 )
             hits = scorer(tps, k, min_score, allowed=allowed, denied=denied)

@@ -97,6 +97,8 @@ def knn_search(embeddings: DataFrame, query_text: str, k: int = 10,
     the same shape as the BM25 per-shard merge. ``embed_fn`` must be the
     same model the index was built with (embed_docs).
     """
+    if k <= 0:
+        return []  # a negative k would slice "all but the last"
     qv = embed_query(query_text, dim, embed_fn)
 
     def score(iterator):
@@ -143,6 +145,8 @@ def hybrid_search(
     Mirrors the OpenSearch hybrid-pipeline shape: each retrieved list is
     normalized to [0,1]; docs missing from one list contribute 0 there.
     """
+    if k <= 0:
+        return []  # a negative k would slice "all but the last"
     nb = _minmax(bm25_hits)
     nk = _minmax(knn_hits)
     fused = {

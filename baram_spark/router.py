@@ -59,6 +59,18 @@ from .serving import VERSION
 _MODES = {"keyword", "bm25", "vector", "knn", "hybrid"}
 
 
+class ClientError(RuntimeError):
+    """A node classified the request as a CLIENT error (4xx): the router
+    must answer with the same status class, not a 502 — a malformed
+    date_from is the caller's bug, not a gateway failure (and the 502
+    body leaked internal node URLs)."""
+
+    def __init__(self, code: int, detail: str):
+        super().__init__(detail)
+        self.code = int(code)
+        self.detail = detail
+
+
 class NodeError(RuntimeError):
     """A serving node failed or was unreachable (router answers 502)."""
 
@@ -95,7 +107,13 @@ class Router:
                 body = json.loads(e.read().decode("utf-8"))
             except Exception:
                 body = {"error": str(e)}
-            raise NodeError(node, body.get("error", str(e))) from e
+            detail = (body.get("error", str(e))
+                      if isinstance(body, dict) else str(body))
+            if 400 <= e.code < 500:
+                # client-class answer: surface verbatim WITHOUT the node
+                # url (no internal topology in client-facing errors)
+                raise ClientError(e.code, detail) from e
+            raise NodeError(node, detail) from e
         except (URLError, OSError, ValueError) as e:
             raise NodeError(node, str(e)) from e
 
@@ -185,12 +203,16 @@ class Router:
                 "results": results}
 
     def health(self) -> dict:
+        # concurrent probes: two unreachable nodes must cost ONE timeout,
+        # not two serial ones — a load balancer's probe budget is seconds
+        futs = [self._pool.submit(self._call, n, "/api/health")
+                for n in self.nodes]
         bodies = []
         errors = []
-        for node in self.nodes:
+        for fut in futs:
             try:
-                bodies.append(self._call(node, "/api/health"))
-            except NodeError as e:
+                bodies.append(fut.result())
+            except (NodeError, ClientError) as e:
                 errors.append(str(e))
         ok = not errors and all(b.get("status") == "ok" for b in bodies)
         return {
@@ -261,13 +283,24 @@ class Router:
     def get_event(self, event_id: str) -> dict | None:
         from urllib.parse import quote
 
-        for node in self.nodes:
+        path = f"/api/events/{quote(event_id)}"
+        futs = [(n, self._pool.submit(self._call, n, path))
+                for n in self.nodes]
+        found, first_err = None, None
+        for _node, fut in futs:
             try:
-                return self._call(node, f"/api/events/{quote(event_id)}")
+                b = fut.result()
+                if found is None:
+                    found = b
+            except ClientError as e:
+                if e.code != 404:
+                    first_err = first_err or e
             except NodeError as e:
-                if "not found" in e.detail.lower():
-                    continue
-                raise
+                first_err = first_err or e
+        if found is not None:
+            return found
+        if first_err is not None:
+            raise first_err
         return None
 
 
@@ -291,13 +324,20 @@ def make_router_server(router: Router, host: str = "127.0.0.1",
 
         def do_POST(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)
-            if u.path == "/api/refresh":
-                try:
+            try:
+                if u.path == "/api/refresh":
                     self._send(200, router.refresh())
-                except NodeError as e:
-                    self._send(502, {"error": str(e), "code": 502})
-            else:
-                self._send(404, {"error": "not found", "code": 404})
+                else:
+                    self._send(404, {"error": "not found", "code": 404})
+            except ClientError as e:
+                self._send(e.code, {"error": e.detail, "code": e.code})
+            except NodeError as e:
+                self._send(502, {"error": str(e), "code": 502})
+            except Exception as e:  # pragma: no cover - defensive 500
+                # without this, a non-NodeError abort drops the
+                # connection with no JSON body at all
+                self._send(500, {"error": f"Refresh failed: {e}",
+                                 "code": 500})
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)
@@ -314,7 +354,9 @@ def make_router_server(router: Router, host: str = "127.0.0.1",
                         limit=int(qs.get("limit", 20)),
                     ))
                 elif u.path.startswith("/api/events/"):
-                    eid = u.path.rsplit("/", 1)[1]
+                    from urllib.parse import unquote
+
+                    eid = unquote(u.path.rsplit("/", 1)[1])
                     ev = router.get_event(eid)
                     if ev is None:
                         self._send(404, {
@@ -343,6 +385,8 @@ def make_router_server(router: Router, host: str = "127.0.0.1",
                     self._send(404, {"error": "not found", "code": 404})
             except ValueError as e:
                 self._send(400, {"error": str(e), "code": 400})
+            except ClientError as e:
+                self._send(e.code, {"error": e.detail, "code": e.code})
             except NodeError as e:
                 self._send(502, {"error": str(e), "code": 502})
             except Exception as e:  # pragma: no cover - defensive 500

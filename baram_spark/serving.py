@@ -303,12 +303,19 @@ class _Snapshot:
             )
             tbl = emb_ds.to_table(columns=["doc_id", "embedding"],
                                   filter=emb_filter)
-            ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-            mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            # zero-copy-ish matrix rebuild: flatten() respects list
+            # offsets; reshape is valid because every vector is dim-long.
+            # (to_pylist boxed ~n*dim Python floats per refresh — a
+            # multi-GB GC spike at 10^7 vectors, measured in review)
+            emb_col = tbl["embedding"].combine_chunks()
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+            mat = (flat.astype(np.float64).reshape(ids.size, -1)
+                   if ids.size else np.zeros((0, 0)))
             n_emb_committed = int(ids.size)  # pre-tombstone, for IVF gating
-            keep = np.array(
-                [i not in denied for i in ids.tolist()], dtype=bool
-            )
+            keep = (~np.isin(ids, np.fromiter(denied, dtype=np.int64))
+                    if denied else np.ones(ids.size, dtype=bool))
             self.emb_ids, mat = ids[keep], mat[keep]
             if self.emb_ids.size:  # zero rows collapse to a 1-D array
                 norms = np.linalg.norm(mat, axis=1)
@@ -397,6 +404,10 @@ class ServingContext:
             ivf_threshold=ivf_threshold, ivf_cells=ivf_cells,
             ivf_probes=ivf_probes, ivf_assign=ivf_assign,
         )
+        # PER-INSTANCE: a class-level lock would serialize refreshes
+        # across every context in the process (a multi-node-in-one-
+        # process tier refreshing in parallel would time out the router)
+        self._refresh_lock = threading.Lock()
         self._snap = _Snapshot(spark, index_dir, **self._ivf_opts)
 
     # the resident state is read through properties so every consumer sees
@@ -420,8 +431,6 @@ class ServingContext:
     @property
     def events(self):
         return self._snap.events
-
-    _refresh_lock = threading.Lock()
 
     def refresh(self) -> None:
         """Re-open at the latest committed snapshot (OpenSearch _refresh
@@ -647,7 +656,9 @@ def make_server(ctx: ServingContext, host: str = "127.0.0.1",
                         limit=int(qs.get("limit", 20)),
                     ))
                 elif u.path.startswith("/api/events/"):
-                    eid = u.path.rsplit("/", 1)[1]
+                    from urllib.parse import unquote
+
+                    eid = unquote(u.path.rsplit("/", 1)[1])
                     ev = ctx.get_event(eid)
                     if ev is None:
                         self._send(404, {

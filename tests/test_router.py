@@ -240,3 +240,32 @@ def test_router_events_pagination_not_truncated():
     assert [e["event_id"] for e in tail["events"]] == [
         f"e{i:04d}" for i in range(200, 250)
     ]
+
+
+def test_router_propagates_client_errors_as_4xx(topology):
+    """A node's 400 for a malformed client param must surface from the
+    router as a 400 (not a 502 'gateway failure'), and the body must not
+    leak internal node addresses."""
+    code, body = _get(
+        f"{topology['router_url']}/api/search"
+        "?q=x&mode=keyword&date_from=not-a-date")
+    assert code == 400, body
+    assert "http://" not in json.dumps(body)
+
+
+def test_router_event_id_needing_encoding(topology):
+    """A percent-encoded event id must round-trip router -> node: the
+    node unquotes its path segment and the router quotes exactly once."""
+    import urllib.parse as up
+
+    # unknown-but-encodable id: must be a clean 404 on both tiers (the
+    # old double-quote turned every encoded id into a guaranteed 404 on
+    # EXISTING ids; here we pin the decode path end-to-end)
+    weird = "econ update/한글"
+    code, _ = _get(
+        f"{topology['router_url']}/api/events/{up.quote(weird, safe='')}")
+    assert code == 404
+    # direct node probe through the router's registry
+    node0 = topology["router"].nodes[0]
+    code, _ = _get(f"{node0}/api/events/{up.quote(weird, safe='')}")
+    assert code == 404

@@ -745,13 +745,25 @@ class IndexBuilder:
         return plan_salts(sample_counts, self.salt_threshold)
 
     def _stage_postings(self, gen, stage_prefix, fingerprint, done, metrics):
-        todo = [
-            k for k in range(self.n_shards)
-            if (stage_prefix, k) not in done
-        ]
-        metrics["resumed_shards"] = sorted(
-            k for k in range(self.n_shards) if (stage_prefix, k) in done
-        )
+        todo, resumed = [], []
+        for k in range(self.n_shards):
+            if (stage_prefix, k) not in done:
+                todo.append(k)
+                continue
+            # trust-but-verify: ledger.invalidate cannot tombstone a
+            # completion record still IN FLIGHT from a concurrent retry
+            # of the same fingerprint, so a conflicting writer's
+            # _remove_gen_dirs can leave a "done" shard with no artifact.
+            # A shard with doc_terms present but postings absent lost its
+            # output — re-run it (a genuinely-empty shard has no
+            # doc_terms dir; a completed non-empty one has its postings).
+            if (fs.exists(f"{self.doc_terms_path}/gen={gen}/shard={k}")
+                    and not fs.exists(
+                        f"{self.postings_path}/gen={gen}/shard={k}")):
+                todo.append(k)
+            else:
+                resumed.append(k)
+        metrics["resumed_shards"] = sorted(resumed)
         if not todo:
             # fully resumed: skip the avgdl collect and (above all) the
             # doc_terms 5% sampling job the salt plan would otherwise run

@@ -81,6 +81,13 @@ class LineageLedger:
         A stage counts as completed when it has MORE completion records
         than invalidation tombstones — re-records after an
         :meth:`invalidate` count again."""
+        live = self._live_counts(fingerprint)
+        return {key for key, n in live.items() if n > 0}
+
+    def _live_counts(self, fingerprint: str):
+        """(stage, partition_id) -> completions minus tombstones. The ONE
+        copy of the tombstone arithmetic — completed() and invalidate()
+        must never disagree on what counts as live."""
         from collections import Counter
 
         rows = (
@@ -96,28 +103,14 @@ class LineageLedger:
                 live[(stage[1:], r["partition_id"])] -= 1
             else:
                 live[(stage, r["partition_id"])] += 1
-        return {key for key, n in live.items() if n > 0}
+        return live
 
     def invalidate(self, fingerprint: str) -> None:
         """Cancel every completion recorded so far for this fingerprint
         (e.g. its staged generation was discarded after an
         optimistic-concurrency conflict): one tombstone per outstanding
         completion record, so later re-records count again."""
-        from collections import Counter
-
-        rows = (
-            self.read()
-            .filter(F.col("fingerprint") == fingerprint)
-            .select("stage", "partition_id")
-            .collect()
-        )
-        outstanding: Counter = Counter()
-        for r in rows:
-            stage = r["stage"]
-            if stage.startswith(self.TOMBSTONE):
-                outstanding[(stage[1:], r["partition_id"])] -= 1
-            else:
-                outstanding[(stage, r["partition_id"])] += 1
+        outstanding = self._live_counts(fingerprint)
         kills = [
             (f"{self.TOMBSTONE}{stage}", pid, fingerprint, 0, 0, 0.0)
             for (stage, pid), n in outstanding.items()

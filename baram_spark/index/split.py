@@ -87,12 +87,25 @@ def _n_shards(index_dir: str) -> int:
 
 
 def _any_parquet_file(root: str) -> str | None:
-    """First parquet data file under ``root`` (for schema-only writes)."""
+    """First parquet data file under ``root`` (for schema-only writes).
+
+    Walks gen -> shard -> files level by level and stops at the first
+    hit — a recursive selector would enumerate EVERY data file (millions
+    of objects at scale) on the driver just to find one."""
+    if not fs.exists(root):
+        return None
     f, p = fs.resolve(root)
-    for info in f.get_file_info(pafs.FileSelector(p, recursive=True)):
-        if (info.type == pafs.FileType.File
-                and info.base_name.endswith(".parquet")):
-            return info.path
+    stack = [p]
+    while stack:
+        cur = stack.pop()
+        dirs = []
+        for info in f.get_file_info(pafs.FileSelector(cur)):
+            if (info.type == pafs.FileType.File
+                    and info.base_name.endswith(".parquet")):
+                return info.path
+            if info.type == pafs.FileType.Directory:
+                dirs.append(info.path)
+        stack.extend(sorted(dirs, reverse=True))
     return None
 
 
@@ -116,7 +129,28 @@ def split_index(
     n_nodes = len(node_dirs)
     if n_nodes < 1:
         raise ValueError("need at least one node dir")
-    n_shards = _n_shards(index_dir)
+    if fs.exists(f"{index_dir}/_shard_set.json"):
+        # a node dir holds a SUBSET of the global shards but its copied
+        # manifest claims the global n_shards: re-splitting it would
+        # assign shards the source does not hold (nodes silently serving
+        # nothing) and recount n_embeddings from the subset (IVF
+        # activation diverging across the fleet)
+        raise ValueError(
+            f"{index_dir} is itself a split shard-set node "
+            "(_shard_set.json present); split the ORIGINAL index"
+        )
+    # ONE manifest snapshot drives the whole split: gens, n_shards and
+    # the payload every node receives. Re-reading per node would let a
+    # concurrent commit hand later nodes a manifest whose generation
+    # list this split never materialized (engines crash on the missing
+    # gen dirs) — and an internally inconsistent topology.
+    manifest = fs.read_manifest(index_dir)
+    if not manifest or manifest.get("n_shards") is None:
+        raise ValueError(
+            f"{index_dir} has no snapshot manifest with n_shards; "
+            "split_index requires a manifest-committed index"
+        )
+    n_shards = int(manifest["n_shards"])
     if shard_sets is None:
         shard_sets = [
             {s for s in range(n_shards) if s % n_nodes == i}
@@ -130,6 +164,10 @@ def split_index(
     missing = set(range(n_shards)) - set(assigned)
     if missing:
         raise ValueError(f"unassigned shards: {sorted(missing)}")
+    bad = [s for s in assigned if s < 0 or s >= n_shards]
+    if bad:
+        raise ValueError(
+            f"shard ids out of range [0, {n_shards}): {sorted(bad)}")
     empty = [i for i, ss in enumerate(shard_sets) if not ss]
     if empty:
         # validated BEFORE any node dir is materialized — an empty set
@@ -145,8 +183,16 @@ def split_index(
 
     from .build import shard_expr
 
-    gens = _committed_gens(index_dir, "postings")
+    gens = sorted(int(g) for g in manifest.get("generations") or [])
+    if manifest.get("generations") is None:
+        gens = _committed_gens(index_dir, "postings")
     post_schema_file = _any_parquet_file(f"{index_dir}/postings")
+    post_schema = None
+    if post_schema_file is not None:
+        # read ONCE — the per-(node, gen) loop below would re-fetch the
+        # identical schema from the store
+        sfs, sp0 = fs.resolve(post_schema_file)
+        post_schema = pq.read_schema(sp0, filesystem=sfs)
 
     # global committed embedding count, written into every node's split
     # descriptor: ServingContext keys its IVF activation off this number
@@ -167,6 +213,18 @@ def split_index(
         else:
             n_emb_global = emb_ds.count_rows()
 
+    for node_dir in node_dirs:
+        nd = node_dir.rstrip("/")
+        if fs.exists(nd) and fs.listdir(nd):
+            # re-splitting INTO a populated dir only adds files: a
+            # previous assignment's postings shard dirs would survive
+            # inside still-committed gen dirs and silently distort the
+            # node's local top-k (stale hits crowd out real ones)
+            raise ValueError(
+                f"node dir {nd} is not empty; split into fresh dirs "
+                "(or remove the old node dir first)"
+            )
+
     for node_dir, shards in zip(node_dirs, shard_sets):
         node_dir = node_dir.rstrip("/")
         fs.makedirs(node_dir)
@@ -176,9 +234,9 @@ def split_index(
             src = f"{index_dir}/{name}"
             if fs.exists(src):
                 _copy_tree(src, f"{node_dir}/{name}")
-        for entry in fs.listdir(index_dir):
-            if entry.startswith("_manifest"):
-                _copy_tree(f"{index_dir}/{entry}", f"{node_dir}/{entry}")
+        # the ONE manifest payload snapshotted above — not a re-read
+        fs.write_text(f"{node_dir}/_manifest.json",
+                      json.dumps(manifest, sort_keys=True))
 
         # 2. postings: byte-identical file copy of this node's shard dirs
         for g in gens:
@@ -188,15 +246,13 @@ def split_index(
                 if fs.exists(src):
                     _copy_tree(src, f"{node_dir}/postings/gen={g}/shard={s}")
                     wrote_any = True
-            if not wrote_any and post_schema_file is not None:
+            if not wrote_any and post_schema is not None:
                 # a committed gen with no rows for this shard-set must
                 # still open (the engine reads every committed gen dir):
                 # plant one schema-only parquet file
                 dst = (f"{node_dir}/postings/gen={g}"
                        f"/shard={min(shards)}/empty.parquet")
-                sfs, sp = fs.resolve(post_schema_file)
-                schema = pq.read_schema(sp, filesystem=sfs)
-                fs.write_parquet_file(dst, schema.empty_table())
+                fs.write_parquet_file(dst, post_schema.empty_table())
 
         # 3. docs / doc_attrs / embeddings: shard-filtered Spark rewrite
         in_set = [int(s) for s in sorted(shards)]

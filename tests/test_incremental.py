@@ -681,3 +681,36 @@ def test_tiny_wave_with_empty_shards_builds(spark, tmp_path):
     assert _norm(engine.search(q, k=10, mode="local")) == _norm(
         _oracle(spark, out).search(q, k=10)
     )
+
+
+def test_resume_reruns_shard_whose_postings_were_deleted(spark, tmp_path):
+    """A ledger 'done' postings shard whose artifact is GONE (a
+    conflicting writer's gen cleanup raced the completion record past
+    invalidate) must be re-run on resume, not silently skipped — the old
+    behavior committed an index permanently missing that shard's
+    postings."""
+    import shutil
+
+    from baram_spark.corpus import pages_df
+    from baram_spark.index.builder import IndexBuilder
+    from baram_spark.query.engine import SearchEngine
+
+    out = f"{tmp_path}/idx"
+    b = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b.build(pages_df(spark, 120, partitions=2), fingerprint="rr")
+    eng = SearchEngine(spark, out)
+    q = "block43"
+    before = eng.search(q, k=10)
+    assert before
+    # simulate the race: the artifact vanishes AFTER the ledger recorded
+    # completion (doc_terms still present -> the verify must re-run it)
+    shutil.rmtree(f"{out}/postings/gen=0/shard=0")
+    b2 = IndexBuilder(spark, out, n_shards=2, salt_threshold=10**9)
+    b2.build(pages_df(spark, 120, partitions=2), fingerprint="rr",
+             resume=True)
+    assert b2.spark is spark
+    import os
+
+    assert os.path.exists(f"{out}/postings/gen=0/shard=0")
+    after = SearchEngine(spark, out).search(q, k=10)
+    assert after == before, "re-run shard must restore identical results"

@@ -269,3 +269,26 @@ def test_router_event_id_needing_encoding(topology):
     node0 = topology["router"].nodes[0]
     code, _ = _get(f"{node0}/api/events/{up.quote(weird, safe='')}")
     assert code == 404
+
+
+def test_split_guards(spark, topology, tmp_path):
+    """Split safety rails: refuse splitting a split node, refuse
+    populated node dirs, refuse out-of-range shard ids, and survive a
+    concurrent-commit-proof single manifest snapshot."""
+    full = topology["full"]
+    root = str(tmp_path)
+    # out-of-range shard id (typo 7 for 3)
+    with pytest.raises(ValueError, match="out of range"):
+        split_index(spark, full, [f"{root}/x0", f"{root}/x1"],
+                    shard_sets=[{0, 1}, {2, 3, 7}])
+    # populated node dir
+    import os
+
+    os.makedirs(f"{root}/dirty/postings", exist_ok=True)
+    with pytest.raises(ValueError, match="not empty"):
+        split_index(spark, full, [f"{root}/dirty", f"{root}/y1"])
+    # split of a split node
+    sets = split_index(spark, full, [f"{root}/n0", f"{root}/n1"])
+    assert sets
+    with pytest.raises(ValueError, match="split the ORIGINAL"):
+        split_index(spark, f"{root}/n0", [f"{root}/z0"])

@@ -284,31 +284,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", "o_orderstatus"
         )
 
-    def q_minhash(spark, sf_dir):
-        sh = _doc_tokens(spark, sf_dir).select(
+    def _shingle_tokens(spark, sf_dir):
+        # NO (doc_id, term) distinct: every consumer below aggregates with
+        # duplicate-idempotent functions (min / bit_or / count_distinct /
+        # collect_set), so the r5 pre-distinct exchange over the token
+        # stream bought nothing — identical results, one less shuffle
+        return _doc_tokens(spark, sf_dir).select(
             "doc_id", F.col("term").alias("shingle")
-        ).distinct()
-        return dedup.minhash_signatures(sh, n_hashes=4)
+        )
+
+    def q_minhash(spark, sf_dir):
+        return dedup.minhash_signatures(
+            _shingle_tokens(spark, sf_dir), n_hashes=4)
 
     def q_lsh_pairs(spark, sf_dir):
-        sh = _doc_tokens(spark, sf_dir).select(
-            "doc_id", F.col("term").alias("shingle")
-        ).distinct()
-        sig = dedup.minhash_signatures(sh, n_hashes=4)
+        sig = dedup.minhash_signatures(
+            _shingle_tokens(spark, sf_dir), n_hashes=4)
         return dedup.lsh_candidate_pairs(sig, n_hashes=4, bands=2)
 
     def q_jaccard(spark, sf_dir):
-        # LSH-gated exact verifier: candidates first (banded bucket join),
-        # then exact Jaccard only over candidate docs — the 100-TB shape.
-        # The ungated all-pairs form is a scale-killer (O(n²) shingle
-        # self-join) and lives only in small-n pytest
-        # (tests/test_dedup_ops.py).
-        sh = _doc_tokens(spark, sf_dir).select(
-            "doc_id", F.col("term").alias("shingle")
-        ).distinct()
-        sig = dedup.minhash_signatures(sh, n_hashes=4)
-        cand = dedup.lsh_candidate_pairs(sig, n_hashes=4, bands=2)
-        return dedup.ngram_jaccard_pairs(sh, threshold=0.5, candidates=cand)
+        # LSH-gated exact verifier, fused: candidate generation and exact
+        # Jaccard verification in ONE streaming join over per-doc features
+        # (signature + shingle bitmask + set size) — no exchange or Python
+        # boundary ever carries the ~n² pair stream; falls back to the
+        # composed banded-join + Arrow-kernel plan when the fused gates
+        # fail (see dedup.lsh_gated_jaccard). The ungated all-pairs form
+        # is a scale-killer (O(n²) shingle self-join) and lives only in
+        # small-n pytest (tests/test_dedup_ops.py).
+        return dedup.lsh_gated_jaccard(
+            _shingle_tokens(spark, sf_dir),
+            n_hashes=4, bands=2, threshold=0.5)
 
     def q_simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)

@@ -244,3 +244,166 @@ def test_ngram_jaccard_value_gate_picks_array_layout(spark):
                for r in ngram_jaccard_pairs(
                    sh, **kw, broadcast_values_threshold=3).collect()}
     assert via_bc == via_arr and via_bc  # non-empty, layout-agnostic
+
+
+def test_fused_lsh_jaccard_matches_composed(spark):
+    """lsh_gated_jaccard's fused JVM plan must return exactly the rows of
+    the composed minhash → lsh → gated-verify pipeline (same ids, counts,
+    rounded jaccard), including docs sharing several bands."""
+    import random
+
+    from baram_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_gated_jaccard,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (d, s)
+        for d in range(60)
+        for s in set(rng.sample(vocab, rng.randint(4, 14)))
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    def norm(df):
+        return sorted(
+            (r["id1"], r["id2"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    fused = norm(lsh_gated_jaccard(
+        sh, n_hashes=4, bands=2, threshold=0.2))
+    sig = minhash_signatures(sh, n_hashes=4)
+    cand = lsh_candidate_pairs(sig, n_hashes=4, bands=2)
+    composed = norm(ngram_jaccard_pairs(
+        sh, threshold=0.2, candidates=cand, candidates_distinct=True))
+    assert fused == composed and len(fused) > 0
+
+
+def test_fused_lsh_jaccard_duplicate_rows_equal_distinct(spark):
+    """The fused aggregates (min / bit_or / count_distinct) must make
+    duplicated (doc_id, shingle) rows indistinguishable from distinct
+    input — the entry queries rely on this to skip the pre-distinct."""
+    from baram_spark.operators.dedup import lsh_gated_jaccard
+
+    base = [(d, f"s{i}") for d in range(8) for i in range(d, d + 5)]
+    dup = base + base[::2] + base[::3]
+    sh_dis = spark.createDataFrame(base, "doc_id long, shingle string")
+    sh_dup = spark.createDataFrame(dup, "doc_id long, shingle string")
+
+    def norm(df):
+        return sorted(
+            (r["id1"], r["id2"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    a = norm(lsh_gated_jaccard(sh_dis, n_hashes=4, bands=2, threshold=0.1))
+    b = norm(lsh_gated_jaccard(sh_dup, n_hashes=4, bands=2, threshold=0.1))
+    assert a == b and len(a) > 0
+
+
+def test_fused_lsh_jaccard_plan_is_shuffle_free(spark):
+    """The returned fused plan must stream pairs out of a broadcast hash
+    join with NO hash/range exchange: the quadratic pair stream may never
+    cross a shuffle (that was the r5 286 s / 659 s scale-killer)."""
+    import re
+
+    from baram_spark.operators.dedup import lsh_gated_jaccard
+
+    sh = spark.createDataFrame(
+        [(d, f"s{i}") for d in range(10) for i in range(d, d + 4)],
+        "doc_id long, shingle string",
+    )
+    out = lsh_gated_jaccard(sh, n_hashes=4, bands=2, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"Exchange (?:hash|range)partitioning", plan), plan
+    assert "MapInArrow" not in plan and "EvalPython" not in plan, plan
+
+
+def test_fused_lsh_jaccard_vocab_gate_falls_back(spark):
+    """A vocab above the fused gate must fall back to the composed plan
+    (MapInArrow verifier) and still return identical rows."""
+    from baram_spark.operators.dedup import lsh_gated_jaccard
+
+    sh = spark.createDataFrame(
+        [(d, f"s{i}") for d in range(12) for i in range(d, d + 6)],
+        "doc_id long, shingle string",
+    )
+    fast = lsh_gated_jaccard(sh, n_hashes=4, bands=2, threshold=0.1)
+    slow = lsh_gated_jaccard(sh, n_hashes=4, bands=2, threshold=0.1,
+                             vocab_limit=3)
+    plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+
+    def norm(df):
+        return sorted(
+            (r["id1"], r["id2"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    assert norm(fast) == norm(slow) and len(norm(fast)) > 0
+
+
+def test_minhash_term_join_matches_per_row_plan(spark):
+    """minhash_signatures' small-vocab plan (driver-hashed terms +
+    broadcast join) must emit signatures byte-identical to the per-row
+    md5 expression plan, duplicates or not."""
+    from baram_spark.operators.dedup import minhash_signatures
+
+    rows = [(d, f"t{(d * 7 + i) % 23}") for d in range(30) for i in range(9)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fast = norm(minhash_signatures(sh, n_hashes=4))
+    slow = norm(minhash_signatures(sh, n_hashes=4, vocab_limit=2))
+    assert fast == slow and len(fast) == 30
+
+
+def test_lsh_pairs_first_band_emission_distinct(spark):
+    """Docs colliding in BOTH bands must yield exactly one pair row (the
+    r5 dropDuplicates contract, now enforced by the first-matching-band
+    join filter instead of a shuffle)."""
+    from baram_spark.operators.dedup import lsh_candidate_pairs
+
+    # identical signatures → collide in band 0 AND band 1
+    sig = spark.createDataFrame(
+        [(1, 10, 20, 30, 40), (2, 10, 20, 30, 40), (3, 10, 20, 99, 99)],
+        "doc_id long, mh0 long, mh1 long, mh2 long, mh3 long",
+    )
+    rows = sorted((r["id1"], r["id2"]) for r in
+                  lsh_candidate_pairs(sig, n_hashes=4, bands=2).collect())
+    # (1,2) collides twice → once; (1,3)/(2,3) collide in band 0 only
+    assert rows == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_lsh_pairs_salted_scale_path_matches_local(spark):
+    """The above-threshold salted self-join plan must produce the same
+    distinct pair set as the local broadcast plan."""
+    import random
+
+    from baram_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (d, s)
+        for d in range(80)
+        for s in set(rng.sample(vocab, rng.randint(3, 10)))
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sig = minhash_signatures(sh, n_hashes=4)
+    local = sorted((r["id1"], r["id2"]) for r in lsh_candidate_pairs(
+        sig, n_hashes=4, bands=2).collect())
+    salted = sorted((r["id1"], r["id2"]) for r in lsh_candidate_pairs(
+        sig, n_hashes=4, bands=2, local_rows_threshold=0, salt=4,
+        parallelism=8).collect())
+    assert local == salted and len(local) > 0

@@ -81,50 +81,59 @@ _BM25_SCORES_CACHE: dict = {}
 def _bm25_scores(spark, sf_dir):
     """Full (doc_id, score) BM25 relation — no ordering, no limit.
 
-    ONE tokenize pass: tf is the only child of the exploded tokens; dl
-    (Σ tf per doc), corpus stats and df all derive from the much smaller
-    tf relation, which is cached so its 3 consumers don't re-tokenize.
-    The final scores relation is itself cached and memoized per
-    (session, sf_dir) so bm25_topk and bm25_topk_filtered share ONE
-    materialization instead of re-running the tokenize+score pipeline."""
+    ONE tokenize pass and ONE shuffle: a single groupBy(doc_id) yields
+    dl (Σ tokens per doc — exactly Σ tf) AND the per-query-term tf
+    columns (sum of per-term indicators ≡ q_doc_tf's count for those
+    terms, so the scoring path cannot diverge from the SQL-checkable
+    relation). Corpus stats and per-term df then come from one tiny
+    aggregate over that 1-row-per-doc relation, pulled to the driver as
+    literals, and the score is a join-free projection: w(term) with
+    tf = 0 contributes idf·0/(0+k) = exactly 0.0, and two-term float
+    addition is commutative, so scores are bit-identical to the r5
+    tf-join-df-join-dl-join-stats plan (which cached and re-walked the
+    full 2.3M-row tf relation: 6.5 s → 2.9 s at sf1.0). The per-doc
+    relation is cached and the scores DF memoized per (session, sf_dir)
+    so bm25_topk and bm25_topk_filtered share one materialization."""
     # keyed by applicationId, not id(spark): a stopped session's CPython
     # id can be reused by a new one, which would hand back DataFrames
     # bound to a dead SparkContext
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BM25_SCORES_CACHE:
         return _BM25_SCORES_CACHE[key]
-    # tf comes from the same relation the SQL-checkable q_doc_tf exposes,
-    # so the scoring path can never silently diverge from it
-    tf = _doc_tf(spark, sf_dir).withColumn(
-        "tf", F.col("tf").cast("int")
+    toks = _doc_tokens(spark, sf_dir)
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("int").alias(f"tf_{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    docrel = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"), *tf_cols
     ).cache()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
-    contrib = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "w",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
-            ),
+    stat = docrel.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+        *[F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+          for i in range(len(BM25_QUERY_TERMS))],
+    ).first()
+    n_docs = stat["n_docs"]
+    avgdl = stat["avgdl"] if stat["avgdl"] is not None else 1.0
+    any_term = None
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        df_i = stat[f"df_{i}"]
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.lit(df_i) + 0.5) / (F.lit(df_i) + 0.5)
         )
+        tf_c = F.col(f"tf_{i}")
+        w = idf * tf_c / (
+            tf_c + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+        )
+        score = w if score is None else score + w
+        has = tf_c > 0
+        any_term = has if any_term is None else (any_term | has)
+    out = docrel.filter(any_term).select(
+        "doc_id", F.round(score, 6).alias("score")
     )
-    out = contrib.groupBy("doc_id").agg(
-        F.round(F.sum("w"), 6).alias("score")
-    ).cache()
     _BM25_SCORES_CACHE[key] = out
     return out
 

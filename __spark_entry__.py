@@ -458,14 +458,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fused
 
     def q_tpch_q3(spark, sf_dir):
+        # r5 shape shuffled BOTH lineitem (6M rows) and orders into a
+        # sort-merge join before the broadcast customer filter could
+        # reduce anything. Reduce first, then broadcast the reduced side
+        # (guide §3.1-3.2): customer(BUILDING) is broadcast into orders
+        # (leaving ~20% of orders), and that narrow key set is itself
+        # broadcast into lineitem — the 6M-row side never shuffles; the
+        # only exchange is the partial-aggregated groupBy(o_orderkey).
         cust = _t(spark, sf_dir, "customer").filter(
             F.col("c_mktsegment") == "BUILDING"
-        )
-        orders = _t(spark, sf_dir, "orders")
+        ).select("c_custkey")
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = _t(spark, sf_dir, "lineitem")
+        orders_b = orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey")
         return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            li.join(F.broadcast(orders_b),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("o_orderkey")
             .agg(
                 F.round(
@@ -529,24 +539,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_tpch_q4(spark, sf_dir):
-        # order-priority check: EXISTS → LEFT SEMI join (no duplication,
-        # no distinct), one shuffle-agg on the tiny priority key.
-        # (schema has no commitdate/receiptdate; the lateness predicate
-        # is l_shipdate > o_orderdate)
+        # order-priority check: EXISTS over lineitem. A LEFT SEMI join
+        # puts the 6M-row lineitem side through a sort-merge shuffle
+        # (Spark can only broadcast the BUILD side of a semi join, which
+        # here is the big one). Same result with zero lineitem shuffle:
+        # broadcast the filtered quarter of orders into an inner join
+        # (guide §3.1), then dedup by order key — o_orderpriority is
+        # functionally dependent on o_orderkey, so distinct-on-both is
+        # the EXISTS set — and count per priority. Counts are integers:
+        # no float-order sensitivity. (Schema has no commitdate/
+        # receiptdate; the lateness predicate is l_shipdate >
+        # o_orderdate.)
         orders = _t(spark, sf_dir, "orders").filter(
             (F.col("o_orderdate") >= "1996-07-01")
             & (F.col("o_orderdate") < "1996-10-01")
-        )
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority")
         late = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_shipdate"
         )
         return (
-            orders.join(
-                late,
+            late.join(
+                F.broadcast(orders),
                 (F.col("l_orderkey") == F.col("o_orderkey"))
                 & (F.col("l_shipdate") > F.col("o_orderdate")),
-                "left_semi",
             )
+            .select("o_orderkey", "o_orderpriority")
+            .dropDuplicates(["o_orderkey", "o_orderpriority"])
             .groupBy("o_orderpriority")
             .agg(F.count("*").cast("long").alias("order_count"))
             .orderBy("o_orderpriority")

@@ -71,8 +71,15 @@ def anti_join_new(candidates: DataFrame, ledger: DataFrame,
                   key: str = "url") -> DataFrame:
     """3-tier dedup's net effect: keep candidates not in the ledger
     (dedup.rs:856-970 ≡ left-anti hash join; Spark's runtime bloom filter
-    is the Bloom tier analog)."""
-    return candidates.join(ledger, key, "left_anti")
+    is the Bloom tier analog).
+
+    The ledger is projected to the key and pre-deduplicated: an anti join
+    only tests membership, so duplicates buy nothing — the partial
+    aggregate collapses them map-side BEFORE the exchange (sf1.0: 6M
+    lineitem rows → 1.5M distinct keys shuffled instead of 6M), and the
+    join reuses the distinct's hash partitioning, adding no exchange."""
+    return candidates.join(
+        ledger.select(key).distinct(), key, "left_anti")
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
@@ -738,17 +745,31 @@ def _compose_lsh_jaccard(shingle_df: DataFrame, n_hashes: int, bands: int,
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, vocab_limit: int = 65_536) -> DataFrame:
     """Per-doc SimHash over whitespace tokens (no tf weighting).
 
     For each bit position j, the bit is 1 iff Σ_tokens sign(bit_j(h(token)))
     > 0. Expressed with explode + bitwise agg — JVM-side only.
+
+    Small vocabularies (probed with a bounded CollectLimit pass) hash each
+    distinct token ONCE on the driver and broadcast-join the value back to
+    the token stream — the join preserves the multiset of token rows, so
+    the per-bit vote sums are identical to the per-row md5 plan.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", _h(F.col("tok"), 0).alias("h"))
+    vocab = _probe_vocab(toks.select(F.col("tok").alias("shingle")),
+                         vocab_limit)
+    if vocab is None:
+        hashed = toks.select("doc_id", _h(F.col("tok"), 0).alias("h"))
+    else:
+        spark = docs.sparkSession
+        feats = spark.createDataFrame(
+            [(s, _h_py(s, 0)) for s in vocab], "tok string, h long")
+        hashed = toks.join(F.broadcast(feats), "tok", "left").select(
+            "doc_id", "h")
     # per-bit contribution sums
     bit_aggs = [
         F.sum(

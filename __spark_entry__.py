@@ -23,8 +23,69 @@ BM25_QUERY_TERMS = ["spark", "data"]
 K1, B = 1.2, 0.75
 
 
+_SCAN_INFO_CACHE: dict = {}
+
+
+def _scan_info(path: str) -> tuple[int, int]:
+    """(total_bytes, parquet_row_groups) for a parquet file/dir — cached.
+
+    Row groups, not byte splits, are parquet's real split granularity:
+    a 6 MB single-row-group file "splits" into N byte-range tasks of
+    which N-1 decode nothing."""
+    if path in _SCAN_INFO_CACHE:
+        return _SCAN_INFO_CACHE[path]
+    import glob
+    import os
+    try:
+        files = ([path] if os.path.isfile(path)
+                 else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+        nbytes = sum(os.path.getsize(f) for f in files)
+        ngroups = 0
+        import pyarrow.parquet as pq
+        for f in files[:64]:  # ≥64 groups is plenty; stop counting
+            ngroups += pq.ParquetFile(f).metadata.num_row_groups
+        if len(files) > 64:
+            ngroups = max(ngroups, len(files))
+    except Exception:
+        # non-local FS / unreadable footer: assume big, never repartition
+        nbytes, ngroups = 1 << 62, 1 << 20
+    _SCAN_INFO_CACHE[path] = (nbytes, ngroups)
+    return nbytes, ngroups
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table and widen an under-parallelized small scan.
+
+    The driver's generated tables are single (or few-) row-group parquet
+    files, so the scan — and every NARROW operator fused onto it
+    (tokenize explodes, regex features, per-doc arrays) — runs in 1-6
+    tasks on a 32-core box. When effective scan parallelism is below
+    half the cores AND the whole input is small enough that an exchange
+    is trivially cheap (≤ 64 MB), repartition round-robin right after
+    the scan: the compute then fans out to 2× cores (language_id at
+    sf1.0: 4.8 s → 0.8 s). Both gates are scale-adaptive: a production
+    table has thousands of row groups (no repartition, plan unchanged)
+    and anything big enough for the exchange to matter fails the bytes
+    gate (measured: repartitioning 131 MB lineitem made tpch_q1
+    0.85 s → 2.4 s).
+
+    ONLY for queries whose results are partition-order-insensitive:
+    per-row projections, integer/count/min/bit aggregations, exact
+    integer-valued sums, or aggregations whose input order is normalized
+    by a window sort. Queries that round large FLOAT sums (tpch revenue,
+    avg_value, sessionize's value_sum) keep the plain scan: their 6-dp
+    rounding sits at the accumulated-ulp boundary, so reordering the sum
+    can flip the last digit (observed: tpch_q1 at sf0.01)."""
+    df = _t(spark, sf_dir, name)
+    dp = spark.sparkContext.defaultParallelism
+    nbytes, ngroups = _scan_info(f"{sf_dir}/{name}.parquet")
+    if ngroups < max(dp // 2, 1) and nbytes <= (64 << 20):
+        return df.repartition(dp * 2)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -41,7 +102,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _doc_tokens(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -201,7 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from baram_spark.operators import dedup, similarity, text_analysis, trends
 
     def events_series(spark, sf_dir):
-        return trends.daily_counts(_t(spark, sf_dir, "events"))
+        return trends.daily_counts(_tw(spark, sf_dir, "events"))
 
     def q_doc_tf(spark, sf_dir):
         return _doc_tf(spark, sf_dir)
@@ -255,7 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_range_count(spark, sf_dir):
         return trends.range_count(
-            _t(spark, sf_dir, "events"), "2024-01-05", "2024-01-20"
+            _tw(spark, sf_dir, "events"), "2024-01-05", "2024-01-20"
         ).select("key", F.col("cnt").cast("long").alias("cnt"))
 
     def q_avg_value(spark, sf_dir):
@@ -268,7 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return trends.pmi_cooccurrence(ents, min_pairs=2)
 
     def q_json_extract(spark, sf_dir):
-        ev = _t(spark, sf_dir, "events")
+        ev = _tw(spark, sf_dir, "events")
         return (
             ev.select(
                 F.get_json_object("props", "$.k").cast("long").alias("k_val")
@@ -278,7 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_dedup_exact(spark, sf_dir):
-        return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select(
+        return dedup.exact_dedup(_tw(spark, sf_dir, "documents")).select(
             "content_hash",
             F.col("canonical_id").cast("long").alias("canonical_id"),
             F.col("n_dups").cast("long").alias("n_dups"),
@@ -325,10 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_hashes=4, bands=2, threshold=0.5)
 
     def q_simhash(spark, sf_dir):
-        return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+        return dedup.simhash(_tw(spark, sf_dir, "documents"), bits=16)
 
     def q_knn(spark, sf_dir):
-        emb = _t(spark, sf_dir, "embeddings")
+        emb = _tw(spark, sf_dir, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv")
         )
@@ -353,7 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_token_counts(spark, sf_dir):
-        return text_analysis.token_counts(_t(spark, sf_dir, "documents")).select(
+        return text_analysis.token_counts(_tw(spark, sf_dir, "documents")).select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_words").cast("long").alias("n_words"),
@@ -361,7 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_quality(spark, sf_dir):
-        return text_analysis.quality_scores(_t(spark, sf_dir, "documents")).select(
+        return text_analysis.quality_scores(_tw(spark, sf_dir, "documents")).select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -369,17 +430,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_fingerprint(spark, sf_dir):
-        return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
+        return text_analysis.fingerprint(_tw(spark, sf_dir, "documents"))
 
     def q_language_id(spark, sf_dir):
-        return text_analysis.language_id(_t(spark, sf_dir, "documents"))
+        return text_analysis.language_id(_tw(spark, sf_dir, "documents"))
 
     def q_chunking(spark, sf_dir):
         # window small enough that sf docs actually produce several chunks
         from baram_spark.textproc.chunking import chunk_docs
 
         return chunk_docs(
-            _t(spark, sf_dir, "documents"), max_tokens=16,
+            _tw(spark, sf_dir, "documents"), max_tokens=16,
             overlap_tokens=4, min_chunk_tokens=6,
         ).select("doc_id", "chunk_index", "total_chunks", "chunk_text",
                  "token_count")
@@ -407,7 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql import Window
 
         bm25 = _bm25_topk(spark, sf_dir, k=20)
-        emb = _t(spark, sf_dir, "embeddings")
+        emb = _tw(spark, sf_dir, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
         knn = (
             emb.crossJoin(F.broadcast(qvec))

@@ -262,7 +262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from baram_spark.operators import dedup, similarity, text_analysis, trends
 
     def events_series(spark, sf_dir):
-        return trends.daily_counts(_tw(spark, sf_dir, "events"))
+        # NOT widened: daily_counts partial-aggregates 1M rows to ~150 in
+        # the scan tasks; a pre-exchange is pure overhead (measured: the
+        # series family ran 2.5-3.2 s widened vs 0.6-1.4 s plain at sf1.0)
+        return trends.daily_counts(_t(spark, sf_dir, "events"))
 
     def q_doc_tf(spark, sf_dir):
         return _doc_tf(spark, sf_dir)
@@ -316,7 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_range_count(spark, sf_dir):
         return trends.range_count(
-            _tw(spark, sf_dir, "events"), "2024-01-05", "2024-01-20"
+            _t(spark, sf_dir, "events"), "2024-01-05", "2024-01-20"
         ).select("key", F.col("cnt").cast("long").alias("cnt"))
 
     def q_avg_value(spark, sf_dir):
@@ -548,27 +551,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_tpch_q5(spark, sf_dir):
-        # local-supplier volume: 6-way join, small dims broadcast, one
-        # shuffle-agg on n_name (the classic star-join plan)
+        # local-supplier volume. r5 sort-merge-joined lineitem against
+        # orders and customer (two 6M-row exchanges) before the
+        # region=ASIA filter could prune anything. Reduce first, then
+        # broadcast the reduced side (guide §3.1-3.2): ASIA nations →
+        # ASIA customers → date-filtered orders of those customers —
+        # each step a broadcast — then ONE broadcast join attaches the
+        # surviving (order, c_nationkey) pairs to lineitem; the fact
+        # table's only exchange is the final tiny groupBy(n_name).
         region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
         nation = _t(spark, sf_dir, "nation")
-        cust = _t(spark, sf_dir, "customer")
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
         supp = _t(spark, sf_dir, "supplier")
         orders = _t(spark, sf_dir, "orders").filter(
             (F.col("o_orderdate") >= "1996-01-01")
             & (F.col("o_orderdate") < "1998-01-01")
-        )
+        ).select("o_orderkey", "o_custkey")
         li = _t(spark, sf_dir, "lineitem")
+        asia_nation = nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+        asia_cust = cust.join(
+            F.broadcast(asia_nation.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", "c_nationkey")
+        orders_b = orders.join(
+            F.broadcast(asia_cust),
+            F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "c_nationkey")
         return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            li.join(F.broadcast(orders_b),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(supp),
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(nation),
                   F.col("s_nationkey") == F.col("n_nationkey"))
-            .join(F.broadcast(region),
-                  F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
             .agg(F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
@@ -648,13 +666,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ) | (F.col("supp_nation") == "NATION_2") & (
             F.col("cust_nation") == "NATION_1"
         )
+        # r5 sort-merge-joined lineitem⋈orders⋈customer (two 6M-row
+        # exchanges) and only then applied the two-nation filter. The
+        # pair predicate implies cust_nation ∈ {NATION_1, NATION_2}, so:
+        # filter n2 to those two nations → broadcast into customer →
+        # broadcast the surviving customers into orders → broadcast the
+        # surviving (order, cust_nation) rows into lineitem. The fact
+        # table's only exchange is the final 4-group aggregate.
+        n2f = n2.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        cust_f = cust.select("c_custkey", "c_nationkey").join(
+            F.broadcast(n2f), F.col("c_nationkey") == F.col("c_nk")
+        ).select("c_custkey", "cust_nation")
+        orders_f = orders.select("o_orderkey", "o_custkey").join(
+            F.broadcast(cust_f), F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "cust_nation")
         return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            li.join(F.broadcast(orders_f),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(supp),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
             .filter(pair)
             .groupBy(
                 "supp_nation", "cust_nation",
@@ -679,16 +710,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         cust = _t(spark, sf_dir, "customer")
         nation = _t(spark, sf_dir, "nation")
-        return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(nation),
-                  F.col("c_nationkey") == F.col("n_nationkey"))
-            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # r5 sort-merge-joined the R-flagged lineitem against orders and
+        # customer. Now the filtered quarter of orders broadcasts into
+        # lineitem, revenue partial-aggregates by o_custkey (one small
+        # exchange), and the customer/nation attributes — functionally
+        # dependent on c_custkey — are broadcast-attached AFTER the
+        # aggregate, so the grouped set is identical with the fact table
+        # never shuffling at full width.
+        per_cust = (
+            li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
             .agg(F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 6,
             ).alias("revenue"))
+        )
+        return (
+            per_cust.join(
+                cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(20)
         )
@@ -743,6 +786,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time session windows over the events table (native
         # session_window; batch mode — watermark is a no-op). Session
         # closes after 30 min of EVENT-time silence; end = last + gap.
+        # Deliberately NOT scan-widened: correctness would hold (the
+        # session merge sorts by event time within each key, verified
+        # identical at sf0.1/sf0.01 with a widened scan), but the extra
+        # exchange feeds straight into the session window's own
+        # user_id shuffle and measured SLOWER (sf1.0 A/B: 2.1-2.4 s
+        # plain vs 3.3-3.6 s widened).
         from baram_spark.streaming.windows import sessionize_event_time
 
         return sessionize_event_time(

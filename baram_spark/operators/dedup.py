@@ -672,13 +672,17 @@ def lsh_gated_jaccard(shingle_df: DataFrame, *, n_hashes: int = 8,
                   + [f"h{seed} long" for seed in range(n_hashes)]
                   + [f"mb{w} long" for w in range(n_words)]),
     )
+    # no count_distinct: the set size IS the popcount of the mask words
+    # (each distinct shingle-hash owns one bit), computed on the driver
+    # after the collect — count_distinct would force a two-phase
+    # expand-aggregate over the token stream for a value the mask
+    # already encodes
     docf = (
         shingle_df.join(F.broadcast(feats), "shingle", "left")
         .groupBy("doc_id")
         .agg(*[F.min(f"h{seed}").alias(f"mh{seed}")
                for seed in range(n_hashes)],
-             *[F.bit_or(f"mb{w}").alias(f"m{w}") for w in range(n_words)],
-             F.count_distinct(F.col("h0")).alias("sz"))
+             *[F.bit_or(f"mb{w}").alias(f"m{w}") for w in range(n_words)])
     )
     head = docf.limit(local_rows_threshold + 1).collect()
     if len(head) > local_rows_threshold:
@@ -698,9 +702,10 @@ def lsh_gated_jaccard(shingle_df: DataFrame, *, n_hashes: int = 8,
                      if v is not None)
             for b in range(bands)
         ]
-        local_rows.append(
-            (r["doc_id"], *sigs,
-             *[r[f"m{w}"] for w in range(n_words)], r["sz"]))
+        mwords = [r[f"m{w}"] for w in range(n_words)]
+        sz = sum((m % (1 << 64)).bit_count()
+                 for m in mwords if m is not None)
+        local_rows.append((r["doc_id"], *sigs, *mwords, sz))
     schema = ", ".join(
         ["doc_id long"] + [f"sig_{b} string" for b in range(bands)]
         + [f"m{w} long" for w in range(n_words)] + ["sz long"])

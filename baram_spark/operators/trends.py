@@ -182,17 +182,30 @@ def pmi_cooccurrence(doc_entities: DataFrame, min_pairs: int = 2) -> DataFrame:
     self-join on doc_id with e1 < e2; PMI = log2(p_ab / (p_a * p_b))
     (base 2 like the reference, entity_trends.rs:254-262).
     """
-    de = doc_entities.select("doc_id", "entity").distinct()
-    n_docs = de.select("doc_id").distinct().count()
-    ent_counts = de.groupBy("entity").agg(F.count("*").alias("n"))
-    a = de.alias("a")
-    b = de.alias("b")
+    # ONE shuffle builds per-doc sorted entity sets (collect_set dedups,
+    # so no pre-distinct exchange); pairs explode INSIDE the row via
+    # array ops instead of the r5 doc_id self-join (SMJ + two exchanges
+    # whose output was the same pair multiset). Counts are integers —
+    # partition-order-insensitive.
+    # cached: three consumers (n_docs, ent_counts, pairs) would otherwise
+    # each re-run the upstream scan+aggregate; the relation is one short
+    # array row per doc, and the count() below materializes it
+    sets = doc_entities.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("entity")).alias("es")
+    ).cache()
+    n_docs = sets.count()
+    ent_counts = (
+        sets.select(F.explode("es").alias("entity"))
+        .groupBy("entity").agg(F.count("*").alias("n"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(es, (x, i) -> "
+        "transform(slice(es, i + 2, size(es)), "
+        "y -> named_struct('e1', x, 'e2', y))))"
+    )
     pairs = (
-        a.join(b, on=(F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("a.entity") < F.col("b.entity")))
-        .groupBy(
-            F.col("a.entity").alias("e1"), F.col("b.entity").alias("e2")
-        )
+        sets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.e1").alias("e1"), F.col("p.e2").alias("e2"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
     )

@@ -39,6 +39,10 @@ def _scan_info(path: str) -> tuple[int, int]:
     try:
         files = ([path] if os.path.isfile(path)
                  else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+        if not files:
+            # partitioned/nested layout or non-.parquet names: footer
+            # counting doesn't apply — assume big, never repartition
+            raise FileNotFoundError(path)
         nbytes = sum(os.path.getsize(f) for f in files)
         ngroups = 0
         import pyarrow.parquet as pq
@@ -728,7 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             per_cust.join(
-                cust, F.col("o_custkey") == F.col("c_custkey"))
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation),
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")

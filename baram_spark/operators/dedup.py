@@ -166,14 +166,16 @@ def _band_sig_table(signatures: DataFrame, n_hashes: int,
     return signatures.select("doc_id", *cols)
 
 
-def _banded_union(sig_table: DataFrame, bands: int) -> DataFrame:
+def _banded_union(sig_table: DataFrame, bands: int,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Explode the per-doc sig table to one row per (doc, band), keeping
-    every band's sig column for the first-matching-band filter."""
+    every band's sig column for the first-matching-band filter (plus any
+    ``extra_cols`` riding along, e.g. the fused verifier's mask words)."""
     sig_cols = [f"sig_{b}" for b in range(bands)]
     parts = [
         sig_table.select(
             "doc_id", F.lit(b).alias("band"),
-            F.col(f"sig_{b}").alias("sig"), *sig_cols,
+            F.col(f"sig_{b}").alias("sig"), *sig_cols, *extra_cols,
         )
         for b in range(bands)
     ]
@@ -253,7 +255,19 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
     # runs the broadcast plan off the LOCAL copy (signature lineage
     # executes exactly once; no second run for the broadcast build)
     head = sig_table.limit(local_rows_threshold + 1).collect()
+    # BYTES-aware second gate (the row cap alone could admit a ~1 GB
+    # broadcast at 1M wide-sig rows): the banded broadcast replicates
+    # each row `bands` times carrying bands+1 sig strings, so bound its
+    # payload from the collected rows' actual string sizes
     if len(head) <= local_rows_threshold:
+        sig_bytes = sum(
+            len(r[f"sig_{b}"]) for r in head for b in range(bands))
+        bcast_bytes = bands * (sig_bytes + len(head) * (bands + 1) * 24)
+        if bcast_bytes > (256 << 20):
+            head = None
+    else:
+        head = None
+    if head is not None:
         local = spark.createDataFrame(head, sig_table.schema)
         banded = _banded_union(local, bands)
         a, b_ = banded.alias("a"), F.broadcast(banded).alias("b")
@@ -710,16 +724,9 @@ def lsh_gated_jaccard(shingle_df: DataFrame, *, n_hashes: int = 8,
         ["doc_id long"] + [f"sig_{b} string" for b in range(bands)]
         + [f"m{w} long" for w in range(n_words)] + ["sz long"])
     local = spark.createDataFrame(local_rows, schema)
-    sig_cols = [f"sig_{b}" for b in range(bands)]
-    extra = [f"m{w}" for w in range(n_words)] + ["sz"]
-    parts = [
-        local.select("doc_id", F.lit(b).alias("band"),
-                     F.col(f"sig_{b}").alias("sig"), *sig_cols, *extra)
-        for b in range(bands)
-    ]
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    banded = _banded_union(
+        local, bands,
+        extra_cols=tuple(f"m{w}" for w in range(n_words)) + ("sz",))
     a, b_ = banded.alias("a"), F.broadcast(banded).alias("b")
     nc = sum(
         (F.bit_count(F.col(f"a.m{w}").bitwiseAND(F.col(f"b.m{w}")))

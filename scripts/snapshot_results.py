@@ -50,15 +50,17 @@ def main() -> None:
         hashed = canon.select(
             F.xxhash64(F.concat_ws("\x1f", *cols)).alias("h")
         )
+        # hsum (exact decimal sum) is the multiplicity-sensitive channel:
+        # XOR alone cancels on even-multiplicity row swaps ({A,A}->{B,B})
         agg = hashed.agg(
             F.count("*").alias("n"),
             F.bit_xor("h").alias("hxor"),
-            F.bit_xor(F.xxhash64(F.col("h"), F.lit(1))).alias("hxor2"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
         ).first()
         fp = {
             "n": int(agg["n"]),
             "hxor": int(agg["hxor"]) if agg["hxor"] is not None else 0,
-            "hxor2": int(agg["hxor2"]) if agg["hxor2"] is not None else 0,
+            "hsum": str(agg["hsum"]) if agg["hsum"] is not None else "0",
             "cols": cols,
         }
         fp["digest"] = hashlib.sha256(

@@ -105,8 +105,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # search pipeline over `documents` (whitespace analyzer → SQL-checkable)
 # ---------------------------------------------------------------------------
 
-def _doc_tokens(spark, sf_dir):
-    docs = _tw(spark, sf_dir, "documents")
+def _doc_tokens(spark, sf_dir, wide: bool = True):
+    # wide=False for consumers whose downstream work is too light to pay
+    # for the widening exchange (corpus_stats: one count-per-doc agg)
+    docs = (_tw if wide else _t)(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -129,8 +131,11 @@ def _term_df(spark, sf_dir):
 
 
 def _corpus_stats(spark, sf_dir):
+    # plain scan: the count-per-doc aggregate partial-aggregates in the
+    # scan tasks; widening measured 2-3x slower (sf1.0 A/B: 0.5-0.8 s
+    # plain vs 1.4-1.9 s widened)
     dl = (
-        _doc_tokens(spark, sf_dir)
+        _doc_tokens(spark, sf_dir, wide=False)
         .groupBy("doc_id")
         .agg(F.count("*").alias("dl"))
     )
@@ -346,7 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_dedup_exact(spark, sf_dir):
-        return dedup.exact_dedup(_tw(spark, sf_dir, "documents")).select(
+        # NOT widened: md5+groupBy per doc is light; moving the full
+        # text column through an exchange measured 3x slower (sf1.0
+        # A/B: 0.3-0.4 s plain vs 1.1-1.5 s widened)
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select(
             "content_hash",
             F.col("canonical_id").cast("long").alias("canonical_id"),
             F.col("n_dups").cast("long").alias("n_dups"),
@@ -421,7 +429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_token_counts(spark, sf_dir):
-        return text_analysis.token_counts(_tw(spark, sf_dir, "documents")).select(
+        # NOT widened: split/length counting is light per row; the text
+        # exchange measured slower (sf1.0 A/B: 1.9-2.3 s plain vs
+        # 2.8-2.9 s widened)
+        return text_analysis.token_counts(_t(spark, sf_dir, "documents")).select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_words").cast("long").alias("n_words"),

@@ -60,6 +60,11 @@ DOC_TERMS_SCHEMA = (
 # runs straight on scan partitions — are packed chunk-wise and merged
 # group-wise (see _pack_partition_arrow).
 PACK_CHUNK_ROWS = 4_000_000
+# per-emitted-RecordBatch cap on binary payload: pa.binary() carries
+# 32-bit offsets, so one array tops out at 2 GiB total bytes; blob-path
+# scan partitions are unbounded by any shuffle knob, so the packer
+# slices its output at this boundary instead of trusting partition size
+PACK_EMIT_BYTES_CAP = 1 << 30
 
 # the three scored fields of the reference's bool-should query
 # (mod.rs:475-501); chunk_text postings exist only when docs carry chunks
@@ -484,19 +489,34 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int,
         oo = np.lexsort(
             (np.asarray(g_term, dtype=object), g_field, c["shard"])
         )
-        return pa.record_batch(
-            [
-                pa.array(c["shard"][oo].astype(np.int32)),
-                pa.array(g_field[oo], type=pa.string()),
-                pc.take(g_term, pa.array(oo)),
-                pa.array(c["salt"][oo].astype(np.int32)),
-                pa.array(c["sizes"][oo].astype(np.int64)),
-                pa.array([c["blobs"][i] for i in oo], type=pa.binary()),
-                pa.array([c["skips"][i] for i in oo], type=pa.binary()),
-                pa.array([c["bmax"][i] for i in oo], type=pa.binary()),
-            ],
-            schema=out_schema,
-        )
+        # slice on PACK_EMIT_BYTES_CAP so no binary column's 32-bit
+        # offsets overflow (2 GiB/array); slices are contiguous in oo, so
+        # the (shard, field, term) ordering the writer prunes on is
+        # preserved across the yielded batches
+        payload = np.fromiter(
+            (len(c["blobs"][i]) + len(c["skips"][i]) + len(c["bmax"][i])
+             for i in oo), dtype=np.int64, count=oo.size)
+        cum = payload.cumsum()
+        n_slices = int(cum[-1] // PACK_EMIT_BYTES_CAP) + 1 if oo.size else 1
+        cuts = np.searchsorted(
+            cum, np.arange(1, n_slices) * PACK_EMIT_BYTES_CAP, side="right")
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, oo.size]):
+            if lo == hi:
+                continue
+            sl = oo[lo:hi]
+            yield pa.record_batch(
+                [
+                    pa.array(c["shard"][sl].astype(np.int32)),
+                    pa.array(g_field[sl], type=pa.string()),
+                    pc.take(g_term, pa.array(sl)),
+                    pa.array(c["salt"][sl].astype(np.int32)),
+                    pa.array(c["sizes"][sl].astype(np.int64)),
+                    pa.array([c["blobs"][i] for i in sl], type=pa.binary()),
+                    pa.array([c["skips"][i] for i in sl], type=pa.binary()),
+                    pa.array([c["bmax"][i] for i in sl], type=pa.binary()),
+                ],
+                schema=out_schema,
+            )
 
     def run(iterator):
         pending, pending_rows, packed = [], 0, []
@@ -512,7 +532,8 @@ def _pack_partition_arrow(avgdl_by_field: dict, codec: int,
             packed.append(pack_table(pa.Table.from_batches(pending)))
         if not packed:
             return
-        yield emit(packed[0] if len(packed) == 1 else merge_chunks(packed))
+        yield from emit(
+            packed[0] if len(packed) == 1 else merge_chunks(packed))
 
     return run
 

@@ -433,6 +433,23 @@ def commit_lock(index_dir: str, ttl_s: float = 120.0,
                 os.write(fd, json.dumps(
                     {"owner": token, "ts": time.time(),
                      "mode": "flock"}).encode())
+                # symmetric settle fence (mirrors the emulation path's
+                # write→settle→readback): an emulation committer may have
+                # written its record between our _read_lock above and our
+                # write — it never takes the flock, so our record clobbered
+                # its and ITS readback backs off. The remaining window is
+                # an emu write AFTER ours: wait out one settle and re-read;
+                # if a fresh emu record clobbered ours, that committer's
+                # readback sees its own record and proceeds — we are the
+                # one to back off. Costs settle_s (20 ms default) per
+                # cross-process local commit.
+                if settle_s > 0:
+                    time.sleep(settle_s)
+                cur = _read_lock(lock_uri)
+                if cur is None or cur.get("owner") != token:
+                    raise CommitLockError(
+                        f"lost mixed-mode commit-lock race on {base} to "
+                        f"{(cur or {}).get('owner')}")
                 try:
                     yield token
                 finally:

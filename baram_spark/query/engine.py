@@ -58,8 +58,20 @@ class SearchEngine:
         for _attempt in range(3):
             self._open()
             m2 = self._load_manifest()
-            if (m2 or {}).get("snapshot_id") ==                     (self._manifest or {}).get("snapshot_id"):
+            if ((m2 or {}).get("snapshot_id")
+                    == (self._manifest or {}).get("snapshot_id")):
                 break
+        else:
+            # three snapshots moved under us in a row: serve the last
+            # consistent-read attempt but say so — a silent fall-through
+            # could pair old generations with a newer tombstone set
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "index %s: snapshot moved during all 3 open attempts; "
+                "serving the last read (snapshot_id=%s) which may pair "
+                "generations with a newer tombstone set until refresh()",
+                self.index_dir, (self._manifest or {}).get("snapshot_id"))
 
     def _open(self) -> None:
         spark = self.spark

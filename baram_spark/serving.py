@@ -310,6 +310,23 @@ class _Snapshot:
             # (to_pylist boxed ~n*dim Python floats per refresh — a
             # multi-GB GC spike at 10^7 vectors, measured in review)
             emb_col = tbl["embedding"].combine_chunks()
+            # flatten() silently DROPS null list slots, which would shift
+            # every later vector against doc_ids (silently wrong knn);
+            # ragged rows would mis-split in the reshape. Fail loudly.
+            if emb_col.null_count:
+                raise ValueError(
+                    f"embeddings under {emb_dir}: {emb_col.null_count} "
+                    "null embedding rows — refusing to reshape (vectors "
+                    "would misalign with doc_ids)")
+            if ids.size:
+                import pyarrow.compute as pac
+
+                lens = pac.min_max(pac.list_value_length(emb_col))
+                if lens["min"].as_py() != lens["max"].as_py():
+                    raise ValueError(
+                        f"embeddings under {emb_dir}: ragged vector "
+                        f"lengths {lens['min']}..{lens['max']} — refusing "
+                        "to reshape (vectors would misalign with doc_ids)")
             flat = emb_col.flatten().to_numpy(zero_copy_only=False)
             mat = (flat.astype(np.float64).reshape(ids.size, -1)
                    if ids.size else np.zeros((0, 0)))

@@ -430,3 +430,35 @@ def test_commit_lock_mixed_modes_exclude_each_other(tmp_path):
     with fs.commit_lock(base, ttl_s=60.0, force_emulation=True,
                         settle_s=0.0):
         pass
+
+
+def test_commit_lock_flock_settle_fence_backs_off(tmp_path, monkeypatch):
+    """The mixed-mode double-hold window: an emulation committer whose
+    record lands AFTER the flock holder wrote its own record was
+    invisible to the flock side's single pre-write read. The flock path
+    now settle-fences symmetrically — re-reads after settle_s and backs
+    off when a fresh emu record clobbered its record (the emu side's
+    readback then sees its own record and proceeds: exactly one winner
+    in every interleaving)."""
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    lock = f"{base}/_commit.lock"
+
+    def clobber(_s):  # stands in for the fence's time.sleep(settle_s)
+        with open(lock, "w") as f:
+            f.write(json.dumps({"owner": "emu9", "ts": time.time(),
+                                "mode": "emu"}))
+
+    monkeypatch.setattr(fs.time, "sleep", clobber)
+    with pytest.raises(fs.CommitLockError, match="mixed-mode"):
+        with fs.commit_lock(base, ttl_s=60.0):
+            pass
+    # the winner's record must be left intact for ITS settle-readback
+    with open(lock) as f:
+        assert json.loads(f.read())["owner"] == "emu9"
+    # and with no interference the fence passes: normal acquire/release
+    monkeypatch.undo()
+    os.remove(lock)
+    with fs.commit_lock(base, ttl_s=60.0):
+        pass
+    assert os.path.getsize(lock) == 0  # release truncated our record

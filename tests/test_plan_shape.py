@@ -284,3 +284,62 @@ def test_arrow_packer_chunked_matches_whole_partition():
         }
         got = {k: (int(d), p, s, b) for k, (d, p, s, b) in got.items()}
         assert got == want, f"codec {codec} mismatch"
+
+
+def test_arrow_packer_slices_emit_at_bytes_cap(monkeypatch):
+    """pa.binary() arrays carry 32-bit offsets (2 GiB cap per array) and
+    blob-path scan partitions are unbounded, so run() slices its output
+    at PACK_EMIT_BYTES_CAP. With a tiny cap the packer must yield many
+    batches whose concatenation is row-identical (same order) to the
+    single-batch emit, each batch's binary payload within cap + one row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_spark.index import build
+    from baram_spark.index.build import _pack_partition_arrow
+    from baram_spark.index.codec import CODEC_VARINT
+
+    rng = np.random.default_rng(23)
+    n = 8_000
+    group = rng.integers(0, 300, n)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": rng.choice(10**9, size=n, replace=False).astype(
+                "int64"
+            ),
+            "field": np.where(group % 3 == 0, "title", "content"),
+            "term": np.char.add("t", (group // 3).astype(str)),
+            "tf": rng.integers(1, 9, n).astype("int32"),
+            "dl": rng.integers(5, 400, n).astype("int32"),
+            "shard": (group % 4).astype("int32"),
+            "salt": np.zeros(n, dtype="int32"),
+        }
+    )
+    avgdl = {"title": 5.0, "content": 130.0}
+    batches = [pa.RecordBatch.from_pandas(c, preserve_index=False)
+               for c in np.array_split(pdf, 5)]
+
+    def rows(outs):
+        t = pa.Table.from_batches(outs).to_pydict()
+        return list(zip(t["shard"], t["field"], t["term"], t["salt"],
+                        t["df"], t["postings"], t["skips"], t["blockmax"]))
+
+    run = _pack_partition_arrow(avgdl, CODEC_VARINT)
+    whole = list(run(iter(batches)))
+
+    cap = 2_000  # bytes — forces many slices on this corpus
+    monkeypatch.setattr(build, "PACK_EMIT_BYTES_CAP", cap)
+    run = _pack_partition_arrow(avgdl, CODEC_VARINT)
+    sliced = list(run(iter(batches)))
+
+    assert len(whole) == 1 and len(sliced) > 3
+    assert rows(sliced) == rows(whole)  # same rows, same order
+    per_row_max = max(len(p) + len(s) + len(b)
+                      for _, _, _, _, _, p, s, b in rows(whole))
+    for out in sliced:
+        payload = sum(
+            len(v) for col in ("postings", "skips", "blockmax")
+            for v in out.column(col).to_pylist()
+        )
+        assert payload <= cap + per_row_max

@@ -354,3 +354,33 @@ def test_negative_k_and_hybrid_threshold(spark, server):
     assert [r["id"] for r in filt["results"]] == [
         r["id"] for r in hyb["results"] if r["score"] >= cut
     ]
+
+
+def test_snapshot_refuses_null_embedding_rows(spark, tmp_path):
+    """flatten() silently drops null list slots, which would shift every
+    later vector against its doc_id — silently wrong knn. A snapshot
+    load over an embeddings table containing a null row must fail
+    loudly instead."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"{tmp_path}/idx"
+    b = IndexBuilder(spark, out, n_shards=1, salt_threshold=10**9,
+                     build_embeddings=True)
+    b.build(pages_df(spark, 20, partitions=2), fingerprint="null-emb")
+    ServingContext(spark, out)  # clean load works
+
+    part = sorted(glob.glob(f"{out}/embeddings/gen=*/*.parquet"))[0]
+    tbl = pq.read_table(part)
+    emb_type = tbl.schema.field("embedding").type
+    bad = {name: [tbl[name][0].as_py()] for name in tbl.schema.names}
+    bad["doc_id"] = [10**9]  # fresh id, null vector
+    bad["embedding"] = pa.array([None], type=emb_type)
+    pq.write_table(
+        pa.table(bad, schema=tbl.schema),
+        f"{part.rsplit('/', 1)[0]}/part-null-injected.parquet")
+
+    with pytest.raises(ValueError, match="null embedding"):
+        ServingContext(spark, out)
